@@ -1,0 +1,230 @@
+"""Configuration system for the TPU-native sensorless-AO MPC framework.
+
+The reference implementation hard-codes every scenario constant as MATLAB
+script variables (reference: README.md:36-49,337-362) and has no config
+system at all (SURVEY.md section 5.6).  Here every subsystem gets a frozen,
+hashable dataclass so configs can be passed as ``jax.jit`` static arguments
+and swept over scenario grids.
+
+Defaults reproduce the reference benchmark scenario:
+D=1 m, r0=0.2 m (D/r0=5), L0=42 m, 3 frozen-flow layers, 28 Zernike modes
+(radial order 6), VAR(2), horizon N=2, Q=1.5e4*I, R=I, u_max=28 rad,
+du_max=0.2121 rad, SNR 10 dB, barrier k=0.01, 1 Newton step
+(reference: README.md:36-49,337-362,538-553).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass
+from typing import Tuple
+
+
+@dataclass(frozen=True)
+class TelescopeConfig:
+    """Telescope geometry (reference: README.md:54-60, telescope.m:83)."""
+
+    diameter: float = 1.0              # [m]
+    resolution: int = 128              # pupil-plane grid size (nRes)
+    fov_arcsec: float = 2.5            # field of view [arcsec]
+    sampling_freq: float = 200.0       # turbulence sampling frequency [Hz]
+
+    @property
+    def sampling_time(self) -> float:
+        return 1.0 / self.sampling_freq
+
+    @property
+    def pixel_pitch(self) -> float:
+        # OOMAO convention: nPixel points span D -> pitch D/(nPixel-1)
+        # (reference: atmosphere.m:449, L=(N-1)*D/(nPixel-1)).
+        return self.diameter / (self.resolution - 1)
+
+
+@dataclass(frozen=True)
+class AtmosphereConfig:
+    """Multi-layer Von Karman atmosphere (reference: README.md:40-51,
+    atmosphere.m:119-162)."""
+
+    r0: float = 0.2                    # Fried parameter [m]
+    L0: float = 42.0                   # outer scale [m]
+    wavelength: float = 550e-9         # r0 defined at V band (photometry.m:50)
+    altitudes: Tuple[float, ...] = (1000.0, 5000.0, 12000.0)          # [m]
+    wind_speeds: Tuple[float, ...] = (5.0, 7.5, 10.0)                 # [m/s]
+    wind_directions: Tuple[float, ...] = (0.0, math.pi / 3, 5 * math.pi / 3)
+    fractional_r0: Tuple[float, ...] = (0.7 / 25, 0.1 / 25, 0.2 / 25)
+    oversample: int = 4                # FFT screen oversampling (atmosphere.m:447)
+    subharmonic_levels: int = 3        # low-frequency compensation depth
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.altitudes)
+
+    def layer(self, i: int) -> "AtmosphereConfig":
+        """Single-layer slab view (reference: atmosphere.m:169 `slab`)."""
+        return dataclasses.replace(
+            self,
+            altitudes=(self.altitudes[i],),
+            wind_speeds=(self.wind_speeds[i],),
+            wind_directions=(self.wind_directions[i],),
+            fractional_r0=(self.fractional_r0[i],),
+        )
+
+
+def mag_conv(d_over_r0: float, base: float = 5.0) -> float:
+    """Turbulence-strength scaling multiplier.
+
+    The reference ships precomputed multipliers mag_conv_{5,10,15,20}
+    (reference: README.md:277-281); they follow the Kolmogorov phase-rms
+    scaling (D/r0)^(5/6):  (10/5)^(5/6)=1.7818, (15/5)^(5/6)=2.4980,
+    (20/5)^(5/6)=3.1748.
+    """
+    return float((d_over_r0 / base) ** (5.0 / 6.0))
+
+
+@dataclass(frozen=True)
+class ZernikeConfig:
+    """Zernike modal basis (reference: README.md:38,86; zernmodfit.m:195-198)."""
+
+    radial_order: int = 6              # N=6 -> 28 modes
+
+    @property
+    def n_modes(self) -> int:
+        n = self.radial_order
+        return (n + 1) * (n + 2) // 2
+
+    @property
+    def n_states(self) -> int:
+        """Modes excluding piston (piston removed: README.md:110,290,331)."""
+        return self.n_modes - 1
+
+
+@dataclass(frozen=True)
+class DMConfig:
+    """Deformable mirror with Gaussian influence functions
+    (reference: README.md:193-234)."""
+
+    n_act_side: int = 12               # m1 -> 144 actuators
+    coupling: float = 0.1              # Gaussian coupling
+    diameter: float = 4.4e-3           # DM aperture [m]
+    half_width: float = 2.2e-3         # DM grid half extent [m] (README.md:206)
+    pixel_pitch: float = 6.5e-6        # [m] (README.md:194)
+    # Voltage conversion  V = (-b +/- sqrt(b^2 +/- 4 a u nm))/(2a)
+    # (reference: README.md:350,576-583)
+    coeff_a: float = 0.047275
+    coeff_b: float = 2.709264
+
+    @property
+    def n_actuators(self) -> int:
+        return self.n_act_side ** 2
+
+    @property
+    def pitch(self) -> float:
+        return self.diameter / (self.n_act_side - 1)
+
+
+@dataclass(frozen=True)
+class EstimatorConfig:
+    """Phase-diversity PSF estimator (reference: README.md:366-397,457-480)."""
+
+    resolution: int = 128              # pupil/FFT grid (len; reference uses 512)
+    diversity_mode: int = 4            # 0-based defocus index (MATLAB idx2=5)
+    diversity_amp: float = 3.0         # zd in {-amp, 0, amp} (README.md:395-396)
+    crop_half: int = 15                # 31x31 crop (README.md:378-380)
+    au: float = 1e12                   # arbitrary PSF unit (README.md:381)
+    camera_wavelength: float = 532e-9  # [m] (README.md:372)
+    pixel_pitch: float = 6.5e-6        # [m] (README.md:371)
+    snr_db: float = 10.0               # measurement SNR (README.md:295)
+
+    @property
+    def n_diversities(self) -> int:
+        return 3
+
+    @property
+    def crop_size(self) -> int:
+        return 2 * self.crop_half + 1
+
+    @property
+    def n_pixels(self) -> int:
+        """Stacked measurement length p (2883 for the reference)."""
+        return self.n_diversities * self.crop_size ** 2
+
+    @property
+    def rad_to_nm(self) -> float:
+        return self.camera_wavelength / (2 * math.pi) * 1e9
+
+
+@dataclass(frozen=True)
+class MPCConfig:
+    """MPC cost, constraints and solver (reference: README.md:337-356,536-556)."""
+
+    horizon: int = 2                   # N
+    var_order: int = 2                 # VAR(p), p in {1, 2}
+    q_weight: float = 1.5e4            # Q = q*I
+    p_weight_scale: float = 1.0        # P(terminal) = scale*Q
+    r_weight: float = 1.0              # R = r*I
+    u_max: float = 28.0                # input box [rad] (= 200 V)
+    du_max: float = 0.2121             # ramp-rate bound [rad]
+    x_box: float = 100.0               # fastMPC state box (inactive; README.md:538)
+    barrier_k: float = 1e-2            # fixed log-barrier parameter
+    newton_steps: int = 1              # fixed Newton step count
+    solver: str = "fastmpc"            # fastmpc | closed_form | barrier | admm
+
+
+@dataclass(frozen=True)
+class SimConfig:
+    """Closed-loop simulation schedule (reference: README.md:37,112-115,339)."""
+
+    n_train: int = 1000
+    n_valid: int = 500
+    n_test: int = 500
+    d_over_r0: float = 5.0             # effective turbulence strength
+    seed: int = 0
+
+    @property
+    def n_total(self) -> int:
+        return self.n_train + self.n_valid + self.n_test
+
+    @property
+    def magnification(self) -> float:
+        return mag_conv(self.d_over_r0)
+
+
+@dataclass(frozen=True)
+class SystemConfig:
+    """Full system bundle - the unit the pipeline and benchmarks consume."""
+
+    telescope: TelescopeConfig = TelescopeConfig()
+    atmosphere: AtmosphereConfig = AtmosphereConfig()
+    zernike: ZernikeConfig = ZernikeConfig()
+    dm: DMConfig = DMConfig()
+    estimator: EstimatorConfig = EstimatorConfig()
+    mpc: MPCConfig = MPCConfig()
+    sim: SimConfig = SimConfig()
+
+    def replace(self, **kw) -> "SystemConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def resolution(self) -> int:
+        """Unified pupil-plane resolution.
+
+        The reference generates turbulence at 128 px (README.md:54-57) but
+        runs the estimator at 512 px (README.md:237); we unify the grids so
+        the closed loop is consistent end-to-end (the estimator resolution
+        wins).
+        """
+        return self.estimator.resolution
+
+
+def reference_config(resolution: int = 128) -> SystemConfig:
+    """The reference benchmark scenario at a chosen grid resolution.
+
+    ``resolution=512`` reproduces the reference estimator grid exactly
+    (README.md:237); 128 is a faster CPU-testable variant with identical
+    structure.
+    """
+    return SystemConfig(
+        telescope=TelescopeConfig(resolution=resolution),
+        estimator=EstimatorConfig(resolution=resolution),
+    )
