@@ -1,0 +1,154 @@
+"""Sensorless (phase-diversity) residual-aberration estimator.
+
+Re-implements and *regenerates* the reference's first-order PSF model
+y = b_s + A_s alpha (reference: README.md:399-411, shipped precomputed in
+model_approx.mat whose generation code is absent -- SURVEY.md section 2c),
+then solves the linear least-squares estimate
+ad_est = (A_s' A_s)^-1 A_s' (y - b_s)  (reference: README.md:478).
+
+TPU-first choices:
+* A_s comes from `jax.jacfwd` of the exact PSF measurement map at zero
+  aberration -- an analytic linearization instead of the reference's
+  unreproducible offline finite differences;
+* the normal-equation solve is precomputed as one (nx, p) matrix so the
+  per-step estimator is a single matmul (MXU) over the batch;
+* measurement noise (the missing SNR_10.mat blob) is defined as seeded
+  white Gaussian noise with variance set by the configured SNR relative to
+  the zero-aberration PSF signal power.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import psf, zernike
+from ..utils.config import EstimatorConfig
+
+
+class EstimatorModel(NamedTuple):
+    """Precomputed estimator operators (device arrays).
+
+    A_s:      (p, nx) linearized PSF sensitivity (piston excluded).
+    b_s:      (p,) zero-aberration measurement.
+    solve_op: (nx, p) = (A_s' A_s)^-1 A_s' -- the full estimator matmul.
+    diversity_phases: (n_div, R, R) zd * Z_defocus maps.
+    pupil:    (R, R).
+    noise_std: float scalar (from SNR dB).
+    scale:    PSF intensity scale (dx^4 * AU).
+    crop_half: static int.
+    """
+
+    A_s: jnp.ndarray
+    b_s: jnp.ndarray
+    solve_op: jnp.ndarray
+    diversity_phases: jnp.ndarray
+    pupil: jnp.ndarray
+    noise_std: jnp.ndarray
+    scale: float
+    crop_half: int
+
+    @property
+    def n_pixels(self) -> int:
+        return self.A_s.shape[0]
+
+    @property
+    def n_states(self) -> int:
+        return self.A_s.shape[1]
+
+
+def effective_pixel_pitch(cfg: EstimatorConfig) -> float:
+    """Pupil-plane pixel pitch keeping the reference's physical extent.
+
+    The reference grid is 512 px at 6.5 um (README.md:371); at other
+    resolutions we keep the same physical pupil extent so the PSF sampling
+    and 31x31 crop stay geometrically equivalent.
+    """
+    return cfg.pixel_pitch * 512.0 / cfg.resolution
+
+
+def measure(
+    model: EstimatorModel,
+    phase_res: jnp.ndarray,
+    noise: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Residual phase(s) (..., R, R) -> noisy measurement(s) (..., p).
+
+    Equivalent of the reference estimator loop README.md:461-475.
+    """
+    y = psf.diversity_measurements(
+        phase_res, model.diversity_phases, model.pupil, model.scale,
+        model.crop_half)
+    if noise is not None:
+        y = y + noise
+    return y
+
+
+def estimate(model: EstimatorModel, y: jnp.ndarray) -> jnp.ndarray:
+    """LS estimate ad_est = solve_op @ (y - b_s)  (README.md:478)."""
+    return (y - model.b_s) @ model.solve_op.T
+
+
+def sample_noise(model: EstimatorModel, key, shape=()) -> jnp.ndarray:
+    """Seeded measurement noise (replaces the missing SNR_10.mat blob)."""
+    return model.noise_std * jax.random.normal(
+        key, (*shape, model.n_pixels), dtype=model.b_s.dtype)
+
+
+def build(
+    cfg: EstimatorConfig,
+    basis: zernike.ZernikeBasis,
+    include_piston: bool = False,
+    dtype=jnp.float32,
+) -> EstimatorModel:
+    """Build the estimator model by linearizing the exact PSF map.
+
+    ``include_piston=False`` drops the piston column, matching the
+    reference's `A_s(:,1) = []` (README.md:290,331).
+    """
+    R = cfg.resolution
+    assert basis.resolution == R, "basis and estimator grids must match"
+    dx = effective_pixel_pitch(cfg)
+    scale = float(dx ** 4 * cfg.au)
+    pupil = psf.pupil_mask(R, dtype=jnp.float32)
+
+    defocus = basis.stack[cfg.diversity_mode].astype(jnp.float32)
+    zd = jnp.asarray([-cfg.diversity_amp, 0.0, cfg.diversity_amp],
+                     dtype=jnp.float32)
+    diversity_phases = zd[:, None, None] * defocus
+
+    k0 = 0 if include_piston else 1
+    mode_stack = basis.stack[k0:].astype(jnp.float32)
+    nx = mode_stack.shape[0]
+
+    def forward(alpha):
+        phase = jnp.einsum("k,kij->ij", alpha, mode_stack)
+        return psf.diversity_measurements(
+            phase, diversity_phases, pupil, scale, cfg.crop_half)
+
+    zero = jnp.zeros((nx,), dtype=jnp.float32)
+    b_s = forward(zero)
+    A_s = jax.jacfwd(forward)(zero)                        # (p, nx)
+
+    # Precompute (A'A)^-1 A' in float64 on host for conditioning.
+    A64 = np.asarray(A_s, dtype=np.float64)
+    gram = A64.T @ A64
+    solve_op = np.linalg.solve(gram, A64.T)                # (nx, p)
+
+    # Noise: SNR_db = 10 log10(mean(b_s^2) / sigma^2)
+    sig_pow = float(np.mean(np.asarray(b_s, dtype=np.float64) ** 2))
+    noise_std = float(np.sqrt(sig_pow * 10.0 ** (-cfg.snr_db / 10.0)))
+
+    return EstimatorModel(
+        A_s=A_s.astype(dtype),
+        b_s=b_s.astype(dtype),
+        solve_op=jnp.asarray(solve_op, dtype=dtype),
+        diversity_phases=diversity_phases,
+        pupil=pupil,
+        noise_std=jnp.asarray(noise_std, dtype=dtype),
+        scale=scale,
+        crop_half=cfg.crop_half,
+    )

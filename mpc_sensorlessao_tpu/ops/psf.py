@@ -1,0 +1,89 @@
+"""Phase-diversity PSF formation.
+
+TPU-native equivalent of the reference's estimator measurement path
+(reference: README.md:366-397,457-475): for each defocus diversity zd in
+{-zd, 0, +zd} form  P = pupil .* exp(1i (phi_res + zd Z_defocus)),
+I = |fftshift(fft2(fftshift(P))) dx^2|^2, crop the central (2c+1)^2 window,
+scale by AU and stack -- here as one batched FFT over
+(... , diversity, R, R) so thousands of scenarios ride a single XLA FFT.
+
+Measurement vectors use MATLAB column-major flattening of each crop
+(reference: README.md:471 `reshape(v_im, diff^2, 1)`) so that regenerated
+A_s/b_s match the shipped model_approx.mat layout.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=8)
+def pupil_mask_np(resolution: int) -> np.ndarray:
+    """Circular pin-hole pupil on the centered frequency grid.
+
+    Reference: README.md:383-391 -- fxaxis=((-len/2):(len/2-1))*df,
+    pupil = (FX^2+FY^2 <= ((len/2-1)*df)^2).  In pixel units: disc of
+    radius R/2-1 centered at index R/2.
+    """
+    R = resolution
+    ax = np.arange(R) - R // 2
+    FX, FY = np.meshgrid(ax, -ax)
+    return (FX * FX + FY * FY) <= (R // 2 - 1) ** 2
+
+
+def pupil_mask(resolution: int, dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.asarray(pupil_mask_np(resolution), dtype=dtype)
+
+
+def psf_intensity(
+    phase: jnp.ndarray,
+    pupil: jnp.ndarray,
+    scale: float,
+) -> jnp.ndarray:
+    """|fftshift(fft2(fftshift(pupil e^{i phase})))|^2 * scale.
+
+    phase: (..., R, R).  ``scale`` folds dx^4 * AU (README.md:468-470).
+    """
+    field = pupil * jnp.exp(1j * phase.astype(jnp.float32))
+    shifted = jnp.fft.fftshift(
+        jnp.fft.fft2(jnp.fft.fftshift(field, axes=(-2, -1))), axes=(-2, -1))
+    return (shifted.real ** 2 + shifted.imag ** 2) * scale
+
+
+def crop_center(im: jnp.ndarray, half: int) -> jnp.ndarray:
+    """Central (2*half+1)^2 window around pixel R//2 (README.md:378-380)."""
+    R = im.shape[-1]
+    c = R // 2
+    return im[..., c - half:c + half + 1, c - half:c + half + 1]
+
+
+def measurement_vector(crops: jnp.ndarray) -> jnp.ndarray:
+    """Stack diversity crops into the measurement vector y.
+
+    crops: (..., n_div, w, w) -> (..., n_div*w*w), each crop flattened
+    column-major (MATLAB reshape convention, README.md:471).
+    """
+    w = crops.shape[-1]
+    nd = crops.shape[-3]
+    colmajor = jnp.swapaxes(crops, -1, -2)  # transpose each crop
+    return colmajor.reshape(*crops.shape[:-3], nd * w * w)
+
+
+def diversity_measurements(
+    phase_res: jnp.ndarray,
+    diversity_phases: jnp.ndarray,
+    pupil: jnp.ndarray,
+    scale: float,
+    crop_half: int,
+) -> jnp.ndarray:
+    """Full measurement path: residual phase(s) -> stacked PSF vector(s).
+
+    phase_res: (..., R, R); diversity_phases: (n_div, R, R) precomputed
+    zd * Z_defocus maps (README.md:462-464).  Returns (..., p).
+    """
+    total = phase_res[..., None, :, :] + diversity_phases
+    im = psf_intensity(total, pupil, scale)
+    return measurement_vector(crop_center(im, crop_half))

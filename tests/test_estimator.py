@@ -1,0 +1,87 @@
+"""Estimator: PSF model regeneration parity + estimation accuracy."""
+
+import h5py
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mpc_sensorlessao_tpu.models import estimator
+from mpc_sensorlessao_tpu.ops import psf, zernike
+from mpc_sensorlessao_tpu.utils.config import EstimatorConfig
+
+REF_MAT = "/root/reference/model_approx.mat"
+
+
+@pytest.fixture(scope="module")
+def model128():
+    basis = zernike.make_basis(6, 128)
+    cfg = EstimatorConfig(resolution=128)
+    return basis, estimator.build(cfg, basis)
+
+
+def test_pupil_mask_matches_reference_convention():
+    # README.md:383-391: disc radius R/2-1 centered at index R/2
+    m = np.asarray(psf.pupil_mask_np(64))
+    assert m[32, 32]
+    assert m[32, 63] and m[32, 1]          # radius 31 reaches both edges
+    assert not m[32, 0] and not m[0, 0]    # beyond radius 31
+
+
+def test_measurement_vector_column_major():
+    crop = jnp.arange(2 * 3 * 3, dtype=jnp.float32).reshape(1, 2, 3, 3)
+    y = np.asarray(psf.measurement_vector(crop))[0]
+    first = np.arange(9).reshape(3, 3)
+    np.testing.assert_array_equal(y[:9], first.T.ravel())  # column-major
+
+
+@pytest.mark.slow
+def test_model_regeneration_matches_shipped_mat():
+    """Regenerated A_s/b_s vs model_approx.mat (SURVEY.md 2c) at R=512."""
+    basis = zernike.make_basis(6, 512)
+    cfg = EstimatorConfig(resolution=512)
+    model = estimator.build(cfg, basis, include_piston=True)
+    with h5py.File(REF_MAT, "r") as f:
+        A_ref = np.array(f["A_s"]).T
+        b_ref = np.array(f["b_s"]).ravel()
+    A = np.asarray(model.A_s, dtype=np.float64)
+    b = np.asarray(model.b_s, dtype=np.float64)
+    assert np.linalg.norm(b - b_ref) / np.linalg.norm(b_ref) < 1e-6
+    # piston column is ~0 by phase invariance; compare the rest
+    for k in range(1, 28):
+        rel = np.linalg.norm(A[:, k] - A_ref[:, k]) / np.linalg.norm(A_ref[:, k])
+        assert rel < 1e-5, (k, rel)
+
+
+def test_estimator_recovers_small_aberrations(model128):
+    basis, model = model128
+    rng = np.random.default_rng(3)
+    alpha = jnp.asarray(rng.normal(size=27) * 0.05, dtype=jnp.float32)
+    phase = zernike.synthesize(basis, jnp.concatenate([jnp.zeros(1), alpha]))
+    y = estimator.measure(model, phase)
+    est = estimator.estimate(model, y)
+    err = np.linalg.norm(np.asarray(est) - np.asarray(alpha))
+    assert err / np.linalg.norm(np.asarray(alpha)) < 0.05, err
+
+
+def test_estimator_batched(model128):
+    basis, model = model128
+    rng = np.random.default_rng(4)
+    alphas = jnp.asarray(rng.normal(size=(5, 27)) * 0.03, dtype=jnp.float32)
+    coeffs = jnp.concatenate([jnp.zeros((5, 1)), alphas], axis=1)
+    phases = zernike.synthesize(basis, coeffs)
+    y = estimator.measure(model, phases)
+    assert y.shape == (5, model.n_pixels)
+    est = estimator.estimate(model, y)
+    assert est.shape == (5, 27)
+    np.testing.assert_allclose(np.asarray(est), np.asarray(alphas), atol=0.02)
+
+
+def test_noise_snr_definition(model128):
+    _, model = model128
+    key = jax.random.PRNGKey(0)
+    noise = estimator.sample_noise(model, key, shape=(256,))
+    emp = float(jnp.mean(noise ** 2))
+    sig = float(jnp.mean(model.b_s ** 2))
+    snr_db = 10 * np.log10(sig / emp)
+    assert abs(snr_db - 10.0) < 0.3, snr_db
