@@ -1,0 +1,205 @@
+"""Closed-loop sensorless-AO MPC simulation engine.
+
+TPU-native re-design of the reference's 500-step control loop
+(reference: README.md:444-626).  Two key structural changes:
+
+* the reference replays a precomputed (512,512,2000) phase tensor
+  (SURVEY.md section 1); here the frozen-flow turbulence is *evolved inside
+  the loop* from per-layer periodic screens, so the whole closed loop is a
+  single `lax.scan` with a small carry and no giant HBM-resident tensor;
+* everything is batched: `vmap` the simulate function over scenario axes
+  (turbulence realization, D/r0, SNR) -- the design center of the
+  framework (SURVEY.md section 7).
+
+Loop step (matching README.md:444-626 exactly in structure):
+  residual phase -> diversity PSFs + noise -> LS estimate -> b_ref ->
+  QP solve (fastmpc / closed-form / ADMM) -> first-stage input ->
+  DM modal correction -> next-step corrected phase.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import newton_kkt, phase_screens, zernike
+from ..utils.config import SystemConfig
+from . import dm as dm_model
+from . import estimator as estimator_model
+from . import mpc, solvers
+
+
+class LoopModels(NamedTuple):
+    """Precomputed operators shared across scenarios (device arrays)."""
+
+    est: estimator_model.EstimatorModel
+    influence: jnp.ndarray        # (nx, n_act)
+    mats: mpc.MPCMatrices
+    prob: newton_kkt.FastMPCProblem
+    state_stack: jnp.ndarray      # (nx, R, R) Zernike modes excl. piston
+    mask: jnp.ndarray             # (R, R) pupil mask
+    mask_npix: jnp.ndarray        # scalar
+
+
+class StepOutputs(NamedTuple):
+    """Per-step telemetry (the reference's accumulator arrays,
+    README.md:420-427,588-624)."""
+
+    u: jnp.ndarray              # applied first-stage input (nu,)
+    du: jnp.ndarray             # input increment
+    volts: jnp.ndarray          # DM voltages
+    x_est: jnp.ndarray          # estimated residual coefficients
+    x_est_norm: jnp.ndarray     # ||ad_est|| (X_est_err)
+    x_pred_norm: jnp.ndarray    # ||x_prev|| (X_acc_err)
+    cost: jnp.ndarray           # J = U'HU + r'U + c
+    rms_res: jnp.ndarray        # true residual-phase RMS in pupil [rad]
+    rms_turb: jnp.ndarray       # uncorrected turbulence RMS [rad]
+    strehl: jnp.ndarray         # Marechal approximation exp(-sigma^2)
+
+
+def make_loop_models(basis, est, dm_mod, mats, prob) -> LoopModels:
+    mask = basis.mask
+    return LoopModels(
+        est=est,
+        influence=dm_mod.influence,
+        mats=mats,
+        prob=prob,
+        state_stack=basis.stack[1:],
+        mask=mask,
+        mask_npix=jnp.sum(mask.astype(jnp.float32)),
+    )
+
+
+def _pupil_rms(models: LoopModels, phase):
+    msk = models.mask.astype(phase.dtype)
+    mean = jnp.sum(phase * msk) / models.mask_npix
+    var = jnp.sum(((phase - mean) * msk) ** 2) / models.mask_npix
+    return jnp.sqrt(var)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "start_step", "solver"))
+def simulate(
+    models: LoopModels,
+    layers: phase_screens.FrozenFlowLayers,
+    cfg: SystemConfig,
+    key,
+    n_steps: int,
+    start_step: int = 0,
+    solver: str | None = None,
+) -> StepOutputs:
+    """Run the closed loop for n_steps starting at absolute turbulence step
+    ``start_step`` (the reference starts at the test split,
+    README.md:429-430).  Single scenario; vmap over (models-shared)
+    scenario axes for Monte-Carlo batches.
+    """
+    solver = solver or cfg.mpc.solver
+    R = cfg.resolution
+    nu_dim = models.influence.shape[1]
+    nx = models.influence.shape[0]
+    N = cfg.mpc.horizon
+    mag = jnp.asarray(cfg.sim.magnification, dtype=jnp.float32)
+
+    du = cfg.mpc.du_max
+    U_min = jnp.full((N * nu_dim,), -cfg.mpc.u_max, dtype=jnp.float32)
+    U_max = jnp.full((N * nu_dim,), cfg.mpc.u_max, dtype=jnp.float32)
+    dU_base_min = jnp.full((N * nu_dim,), -du, dtype=jnp.float32)
+    dU_base_max = jnp.full((N * nu_dim,), du, dtype=jnp.float32)
+
+    def step(carry, idx):
+        u1, u2, x_pre, phase_cor = carry
+
+        # -- turbulence + correction (README.md:447-453) --
+        raw = phase_screens.phase_at(layers, start_step + idx, R)
+        phase_turb = zernike.piston_removed_phase_masked(
+            raw, models.mask, models.mask_npix) * mag
+        phase_res = phase_turb + phase_cor
+
+        # -- estimator (README.md:457-480) --
+        noise = estimator_model.sample_noise(
+            models.est, jax.random.fold_in(key, idx))
+        y = estimator_model.measure(models.est, phase_res, noise)
+        x0 = estimator_model.estimate(models.est, y)
+
+        # -- QP assembly (README.md:483-501) --
+        bref = mpc.b_ref(models.mats, u1, u2)
+        r, c, x_free = mpc.gradient_terms(models.mats, x0, x_pre, bref)
+
+        # -- solve (README.md:504-570) --
+        if solver == "fastmpc":
+            state = newton_kkt.solve(
+                models.prob, x0, x_pre, bref, horizon=N,
+                n_newton=cfg.mpc.newton_steps, x_box=cfg.mpc.x_box)
+            U = state.U.reshape(-1)
+        elif solver == "closed_form":
+            U = solvers.closed_form(models.mats, r)
+        elif solver == "admm":
+            # first-block ramp bounds shifted by u_prev (README.md:449-451)
+            dmin = dU_base_min.at[:nu_dim].add(u1)
+            dmax = dU_base_max.at[:nu_dim].add(u1)
+            U = solvers.admm_condensed(models.mats, r, U_min, U_max,
+                                       dmin, dmax)
+        else:
+            raise ValueError(f"unknown solver '{solver}'")
+
+        # -- actuate (README.md:576-601) --
+        u = U[:nu_dim]
+        volts = dm_model.rad_to_volts(
+            u, cfg.dm.coeff_a, cfg.dm.coeff_b, cfg.estimator.rad_to_nm)
+        ad_cor = models.influence @ u
+        phase_cor_new = jnp.einsum("k,kij->ij", ad_cor, models.state_stack)
+
+        x_pred = mpc.predicted_states(models.mats, U, x_free)
+        cost = mpc.cost(models.mats, U, r, c)
+        rms_res = _pupil_rms(models, phase_res)
+        rms_turb = _pupil_rms(models, phase_turb)
+
+        out = StepOutputs(
+            u=u, du=u - u1, volts=volts, x_est=x0,
+            x_est_norm=jnp.linalg.norm(x0),
+            x_pred_norm=jnp.linalg.norm(x_pred[:nx]),
+            cost=cost, rms_res=rms_res, rms_turb=rms_turb,
+            strehl=jnp.exp(-rms_res ** 2),
+        )
+        return (u, u1, x0, phase_cor_new), out
+
+    init = (
+        jnp.zeros((nu_dim,), dtype=jnp.float32),
+        jnp.zeros((nu_dim,), dtype=jnp.float32),
+        jnp.zeros((nx,), dtype=jnp.float32),
+        jnp.zeros((R, R), dtype=jnp.float32),
+    )
+    _, outputs = jax.lax.scan(step, init, jnp.arange(n_steps))
+    return outputs
+
+
+@partial(jax.jit, static_argnames=("n_steps", "start_step", "resolution"))
+def turbulence_rollout(
+    layers: phase_screens.FrozenFlowLayers,
+    fit_full: jnp.ndarray,
+    mask: jnp.ndarray,
+    mask_npix: jnp.ndarray,
+    n_steps: int,
+    resolution: int,
+    start_step: int = 0,
+    mag: float = 1.0,
+) -> jnp.ndarray:
+    """Open-loop pre-pass: frozen-flow evolution -> piston-removed phase ->
+    Zernike coefficients, as one scan.  Equivalent of the reference's
+    2000-step generation + zernmodfit loop (README.md:69-93) without ever
+    materializing the (R,R,T) tensor.
+    Returns (n_steps, n_modes) coefficients (piston column included).
+    """
+
+    def step(_, idx):
+        raw = phase_screens.phase_at(layers, start_step + idx, resolution)
+        msk = mask.astype(raw.dtype)
+        mean = jnp.sum(raw * msk) / mask_npix
+        ph = (raw - mean) * msk * mag
+        coeffs = fit_full @ ph.reshape(-1)
+        return None, coeffs
+
+    _, series = jax.lax.scan(step, None, jnp.arange(n_steps))
+    return series

@@ -109,12 +109,12 @@ def build(
     )
 
 
-def rad_to_volts(u: jnp.ndarray, model: DMModel, rad_to_nm: float) -> jnp.ndarray:
+def rad_to_volts(u: jnp.ndarray, a: float, b: float,
+                 rad_to_nm: float) -> jnp.ndarray:
     """Inverse-quadratic voltage conversion (README.md:576-583).
 
     u<0: V = -(-b + sqrt(b^2 - 4 a u nm))/(2a); u>=0 with +4a.
     """
-    a, b = model.coeff_a, model.coeff_b
     nm = u * rad_to_nm
     pos = (-b + jnp.sqrt(b * b + 4.0 * a * jnp.abs(nm))) / (2.0 * a)
     return jnp.sign(u) * pos

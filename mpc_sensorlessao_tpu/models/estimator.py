@@ -19,8 +19,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import flax.struct as struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -29,7 +28,8 @@ from ..ops import psf, zernike
 from ..utils.config import EstimatorConfig
 
 
-class EstimatorModel(NamedTuple):
+@struct.dataclass
+class EstimatorModel:
     """Precomputed estimator operators (device arrays).
 
     A_s:      (p, nx) linearized PSF sensitivity (piston excluded).
@@ -38,7 +38,7 @@ class EstimatorModel(NamedTuple):
     diversity_phases: (n_div, R, R) zd * Z_defocus maps.
     pupil:    (R, R).
     noise_std: float scalar (from SNR dB).
-    scale:    PSF intensity scale (dx^4 * AU).
+    scale:    PSF intensity scale (dx^4 * AU), static.
     crop_half: static int.
     """
 
@@ -48,8 +48,8 @@ class EstimatorModel(NamedTuple):
     diversity_phases: jnp.ndarray
     pupil: jnp.ndarray
     noise_std: jnp.ndarray
-    scale: float
-    crop_half: int
+    scale: float = struct.field(pytree_node=False)
+    crop_half: int = struct.field(pytree_node=False)
 
     @property
     def n_pixels(self) -> int:
@@ -133,14 +133,22 @@ def build(
     b_s = forward(zero)
     A_s = jax.jacfwd(forward)(zero)                        # (p, nx)
 
-    # Precompute (A'A)^-1 A' in float64 on host for conditioning.
+    # Precompute (A'A + lam I)^-1 A' in float64 on host for conditioning.
     A64 = np.asarray(A_s, dtype=np.float64)
     gram = A64.T @ A64
+    if cfg.tikhonov > 0.0:
+        gram = gram + cfg.tikhonov * np.eye(gram.shape[0])
     solve_op = np.linalg.solve(gram, A64.T)                # (nx, p)
 
-    # Noise: SNR_db = 10 log10(mean(b_s^2) / sigma^2)
-    sig_pow = float(np.mean(np.asarray(b_s, dtype=np.float64) ** 2))
-    noise_std = float(np.sqrt(sig_pow * 10.0 ** (-cfg.snr_db / 10.0)))
+    # Noise scale (regenerates the missing SNR_10.mat; see EstimatorConfig)
+    b64 = np.asarray(b_s, dtype=np.float64)
+    if cfg.snr_reference == "mean_abs":
+        noise_std = float(np.mean(np.abs(b64)) * 10.0 ** (-cfg.snr_db / 20.0))
+    elif cfg.snr_reference == "vector_power":
+        noise_std = float(np.sqrt(np.mean(b64 ** 2)
+                                  * 10.0 ** (-cfg.snr_db / 10.0)))
+    else:
+        raise ValueError(f"unknown snr_reference '{cfg.snr_reference}'")
 
     return EstimatorModel(
         A_s=A_s.astype(dtype),

@@ -16,13 +16,13 @@ Fast_MPC/VAR_1 semantics apply).
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
+import flax.struct as struct
 import jax.numpy as jnp
 import numpy as np
 
 
-class MPCMatrices(NamedTuple):
+@struct.dataclass
+class MPCMatrices:
     """Static-per-scenario condensed QP operators (device arrays)."""
 
     M1: jnp.ndarray           # (N*nx, nx)
@@ -35,7 +35,7 @@ class MPCMatrices(NamedTuple):
     closed_form: jnp.ndarray  # (N*nu, N*nu): U = closed_form @ r
     M1B: jnp.ndarray          # (N*nx, nu) = M1 @ B (b_ref precompute)
     M2B: jnp.ndarray          # (N*nx, nu)
-    horizon: int
+    horizon: int = struct.field(pytree_node=False)
 
     @property
     def nx(self) -> int:

@@ -1,0 +1,92 @@
+"""End-to-end pipeline: turbulence -> system ID -> closed-loop MPC.
+
+Orchestrates the full reference workflow (SURVEY.md section 1 layer map):
+  L1 frozen-flow generation  -> L2 Zernike series  -> L3 VAR fit
+  -> L4 DM influence        -> L5 estimator model -> L6 MPC matrices
+  -> L7 closed-loop simulation,
+with the open-loop pre-pass and the closed loop both running on device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import phase_screens, zernike
+from ..utils.config import SystemConfig
+from . import closed_loop, dm, estimator, mpc, solvers, var
+
+
+class System(NamedTuple):
+    """All precomputed models for a configured scenario."""
+
+    basis: zernike.ZernikeBasis
+    layers: phase_screens.FrozenFlowLayers
+    est: estimator.EstimatorModel
+    dm_model: dm.DMModel
+    var_model: var.VARModel
+    mats: mpc.MPCMatrices
+    loop: closed_loop.LoopModels
+    coeff_series: jnp.ndarray     # (n_total, n_modes) open-loop Zernike ts
+
+
+def build(cfg: SystemConfig, key) -> System:
+    """Build every subsystem from a config + PRNG key."""
+    import dataclasses
+
+    R = cfg.resolution
+    tel = dataclasses.replace(cfg.telescope, resolution=R)
+
+    k_turb, k_noise = jax.random.split(key)
+    basis = zernike.make_basis(cfg.zernike.radial_order, R)
+    layers = phase_screens.make_layers(k_turb, cfg.atmosphere, tel)
+    est = estimator.build(cfg.estimator, basis)
+    dm_model = dm.build(cfg.dm, basis)
+
+    # Open-loop pre-pass over train+valid (the closed loop runs on the test
+    # window, README.md:112-115,429-430); magnification applied like
+    # README.md:283-284.
+    mask_npix = jnp.sum(basis.mask.astype(jnp.float32))
+    n_id = cfg.sim.n_train + cfg.sim.n_valid
+    coeffs = closed_loop.turbulence_rollout(
+        layers, basis.fit_full, basis.mask, mask_npix,
+        n_steps=n_id, resolution=R, start_step=0,
+        mag=cfg.sim.magnification)
+
+    # VAR fit on the training window, piston removed (README.md:110-130)
+    states = coeffs[:, 1:]
+    vmodel = var.fit(states[:cfg.sim.n_train], cfg.mpc.var_order)
+    A1 = vmodel.coefficient(1)
+    A2 = (vmodel.coefficient(2) if cfg.mpc.var_order >= 2
+          else jnp.zeros_like(A1))
+
+    nx = A1.shape[0]
+    nu = dm_model.n_actuators
+    Q = cfg.mpc.q_weight * jnp.eye(nx, dtype=jnp.float32)
+    P = cfg.mpc.p_weight_scale * Q
+    Rm = cfg.mpc.r_weight * jnp.eye(nu, dtype=jnp.float32)
+    mats = mpc.design_matrices(A1, A2, dm_model.influence, cfg.mpc.horizon,
+                               Q, P, Rm)
+    prob = solvers.make_fastmpc_problem(
+        A1, A2, dm_model.influence,
+        q_weight=cfg.mpc.q_weight,
+        p_weight=cfg.mpc.p_weight_scale * cfg.mpc.q_weight,
+        r_weight=cfg.mpc.r_weight,
+        u_max=cfg.mpc.u_max, barrier_k=cfg.mpc.barrier_k)
+
+    loop = closed_loop.make_loop_models(basis, est, dm_model, mats, prob)
+    return System(basis=basis, layers=layers, est=est, dm_model=dm_model,
+                  var_model=vmodel, mats=mats, loop=loop,
+                  coeff_series=coeffs)
+
+
+def run_closed_loop(system: System, cfg: SystemConfig, key,
+                    n_steps: int | None = None,
+                    solver: str | None = None) -> closed_loop.StepOutputs:
+    """Closed loop over the test window (after train+valid)."""
+    n = n_steps if n_steps is not None else cfg.sim.n_test
+    start = cfg.sim.n_train + cfg.sim.n_valid
+    return closed_loop.simulate(system.loop, system.layers, cfg, key,
+                                n_steps=n, start_step=start, solver=solver)

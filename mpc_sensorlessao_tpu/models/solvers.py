@@ -197,13 +197,19 @@ def unpack_controls(z: jnp.ndarray, n: int, m: int, horizon: int):
 
 @partial(jax.jit, static_argnames=("n_iter",))
 def admm_condensed(mats: MPCMatrices, r, U_min, U_max, dU_min, dU_max,
-                   rho: float = 1.0, n_iter: int = 200) -> jnp.ndarray:
+                   rho: float | None = None,
+                   n_iter: int = 400) -> jnp.ndarray:
     """min U'HU + r'U  s.t. U_min<=U<=U_max, dU_min<=E U<=dU_max
     (the CVX problem, README.md:512-518), via fixed-iteration two-block
     ADMM with precomputed factorization.  Batched over leading dims of
-    r/U_min/... via vmap if needed (operators are shared)."""
+    r/U_min/... via vmap if needed (operators are shared).
+
+    ``rho`` defaults to the mean curvature scale trace(2H)/Z so the dual
+    updates are conditioned against the reference's Q~1.5e4 weights."""
     E = mats.E
     Z = mats.H.shape[0]
+    if rho is None:
+        rho = jnp.trace(2.0 * mats.H) / Z
     M = 2.0 * mats.H + rho * (jnp.eye(Z, dtype=mats.H.dtype) + E.T @ E)
     chol = jax.scipy.linalg.cho_factor(M, lower=True)
 

@@ -1,0 +1,204 @@
+"""Von Karman phase-screen synthesis and frozen-flow evolution.
+
+TPU-first re-design of the reference turbulence engine
+(reference: atmosphere.m:423-475 `fourierPhaseScreen`,
+telescopeAbstract.m:288-372 frozen-flow `update`):
+
+* each layer gets ONE oversampled periodic FFT screen (the reference also
+  synthesizes on a 4x oversampled grid, atmosphere.m:447), with optional
+  subharmonic low-frequency compensation (the reference ships the same idea
+  as `fourierSubHarmonicPhaseScreen`, atmosphere.m:518-591);
+* frozen flow becomes *sampling*: the pupil window slides across the
+  periodic screen along the wind vector, implemented as a roll + 4-tap
+  bilinear blend -- replacing the reference's data-dependent
+  conditional-Gaussian edge extension + interpolation
+  (telescopeAbstract.m:335-353), which cannot be expressed as a fixed-shape
+  XLA program.  Periodicity substitutes for the reference's stochastic
+  extension; statistics inside the window follow the sampled Von Karman
+  PSD exactly and are validated against phaseStats analytics in tests;
+* multi-layer projection for the on-axis NGS is a plain sum
+  (telescopeAbstract.m:446-447 fast path), piston-removed downstream
+  (stochasticWave.m:132-142).
+
+Everything is fixed-shape, jit/vmap/scan-friendly; `jax.random` keys
+replace the reference's dedicated rngStream (atmosphere.m:66-68).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import AtmosphereConfig, TelescopeConfig
+from . import phase_stats
+
+
+class FrozenFlowLayers(NamedTuple):
+    """Per-layer periodic screens + wind stepping (device arrays).
+
+    screens:   (L, Ns, Ns) phase screens [rad].
+    step_px:   (L, 2) wind displacement per time step in (row, col) pixels.
+    """
+
+    screens: jnp.ndarray
+    step_px: jnp.ndarray
+
+    @property
+    def n_layers(self) -> int:
+        return self.screens.shape[0]
+
+    @property
+    def screen_size(self) -> int:
+        return self.screens.shape[-1]
+
+
+def synthesize_screen(
+    key,
+    atm: AtmosphereConfig,
+    n_pixels: int,
+    pitch: float,
+    oversample: int | None = None,
+    subharmonic_levels: int | None = None,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """One Von Karman screen, (os*n_pixels)^2, periodic.
+
+    Follows fourierPhaseScreen (atmosphere.m:449-474):
+    map = real(ifft2(psdRoot .* fft2(randn(N))/N)) * N^2 * df,
+    plus subharmonic patches below the fundamental frequency.
+    ``atm`` should be a single-layer slab (atm.layer(i)) so the fractional
+    r0 weighting is per layer.
+    """
+    if oversample is None:
+        oversample = atm.oversample
+    if subharmonic_levels is None:
+        subharmonic_levels = atm.subharmonic_levels
+    N = oversample * n_pixels
+    extent = N * pitch
+    df = 1.0 / extent
+
+    fx = jnp.fft.fftfreq(N, d=pitch)
+    fr = jnp.sqrt(fx[:, None] ** 2 + fx[None, :] ** 2)
+    psd_root = jnp.sqrt(phase_stats.spectrum(fr, atm, jnp)).astype(jnp.float32)
+    # zero DC: the fundamental patch of the subharmonics (or piston removal)
+    # covers it (cf. fourierPhaseScreenStraight, atmosphere.m:505)
+    psd_root = psd_root.at[0, 0].set(0.0)
+
+    k_main, k_sub = jax.random.split(key)
+    w = jax.random.normal(k_main, (N, N), dtype=jnp.float32)
+    c = jnp.fft.fft2(w) / N
+    screen = jnp.real(jnp.fft.ifft2(psd_root * c)) * (N * N) * df
+
+    if subharmonic_levels > 0:
+        screen = screen + _subharmonics(
+            k_sub, atm, N, pitch, df, subharmonic_levels)
+    return screen.astype(dtype)
+
+
+def _subharmonics(key, atm: AtmosphereConfig, N: int, pitch: float,
+                  df: float, levels: int) -> jnp.ndarray:
+    """Low-frequency compensation patches (Lane et al. 1992 method; the
+    reference's equivalent is fourierSubHarmonicPhaseScreen,
+    atmosphere.m:518-591).
+
+    For each level l, a 3x3 grid of frequencies at spacing df/3^l replaces
+    the coarser cell it subdivides; modes whose cell is covered by a deeper
+    level (the central 1/3 block) are skipped, as is DC.
+    """
+    x = jnp.arange(N, dtype=jnp.float32) * pitch
+    XX = x[:, None]
+    YY = x[None, :]
+    total = jnp.zeros((N, N), dtype=jnp.float32)
+    keys = jax.random.split(key, levels)
+    for lvl in range(1, levels + 1):
+        df_l = df / (3.0 ** lvl)
+        freqs = []
+        for p in (-1, 0, 1):
+            for q in (-1, 0, 1):
+                if p == 0 and q == 0:
+                    continue  # central cell: subdivided by the next level
+                freqs.append((p * df_l, q * df_l))
+        f = np.asarray(freqs, dtype=np.float32)                 # (8, 2)
+        amp = np.sqrt(
+            phase_stats.spectrum(np.hypot(f[:, 0], f[:, 1]), atm, np)
+        ).astype(np.float32) * df_l
+        ka, kb = jax.random.split(keys[lvl - 1])
+        a = jax.random.normal(ka, (f.shape[0],)) * amp
+        b = jax.random.normal(kb, (f.shape[0],)) * amp
+        phase_arg = 2.0 * math.pi * (
+            XX * jnp.asarray(f[:, 0])[:, None, None]
+            + YY * jnp.asarray(f[:, 1])[:, None, None])
+        total = total + jnp.sum(
+            a[:, None, None] * jnp.cos(phase_arg)
+            + b[:, None, None] * jnp.sin(phase_arg), axis=0)
+    return total
+
+
+def make_layers(
+    key,
+    atm: AtmosphereConfig,
+    tel: TelescopeConfig,
+    dtype=jnp.float32,
+) -> FrozenFlowLayers:
+    """Build all layer screens + per-step pixel shifts.
+
+    Wind shift per step: v * dt / pitch pixels along (cos, sin) of the wind
+    direction (telescopeAbstract.m:322-372 leap bookkeeping becomes a
+    plain float displacement).
+    """
+    R = tel.resolution
+    pitch = tel.pixel_pitch
+    keys = jax.random.split(key, atm.n_layers)
+    screens = []
+    steps = []
+    for i in range(atm.n_layers):
+        slab = atm.layer(i)
+        screens.append(synthesize_screen(keys[i], slab, R, pitch,
+                                         dtype=dtype))
+        v = atm.wind_speeds[i]
+        th = atm.wind_directions[i]
+        dpx = v * tel.sampling_time / pitch
+        steps.append((dpx * math.sin(th), dpx * math.cos(th)))  # (row, col)
+    return FrozenFlowLayers(
+        screens=jnp.stack(screens),
+        step_px=jnp.asarray(np.asarray(steps), dtype=dtype),
+    )
+
+
+def _bilinear_window(screen: jnp.ndarray, offset_rc, size: int) -> jnp.ndarray:
+    """Periodic bilinear sampling of a (size, size) window at float offset.
+
+    Equivalent role to the reference's `linear` interpolator
+    (telescopeAbstract.m:1011-1062), but on a periodic screen: integer part
+    handled by jnp.roll (wraps), fractional part by a 4-tap blend.
+    """
+    oy, ox = offset_rc[0], offset_rc[1]
+    iy = jnp.floor(oy).astype(jnp.int32)
+    ix = jnp.floor(ox).astype(jnp.int32)
+    fy = (oy - iy).astype(screen.dtype)
+    fx = (ox - ix).astype(screen.dtype)
+    rolled = jnp.roll(screen, shift=(-iy, -ix), axis=(0, 1))
+    w = rolled[: size + 1, : size + 1]
+    return ((1 - fy) * (1 - fx) * w[:size, :size]
+            + (1 - fy) * fx * w[:size, 1:]
+            + fy * (1 - fx) * w[1:, :size]
+            + fy * fx * w[1:, 1:])
+
+
+def phase_at(layers: FrozenFlowLayers, step, resolution: int) -> jnp.ndarray:
+    """Summed multi-layer pupil phase at (traced) time step index.
+
+    `step` may be float; the window slides continuously.  Equivalent of
+    +tel / relay for a single on-axis NGS (telescopeAbstract.m:384-395,
+    446-447).  NOT piston-removed (apply zernike.piston_removed_phase).
+    """
+    offsets = layers.step_px * jnp.asarray(step, dtype=layers.step_px.dtype)
+
+    def one(screen, off):
+        return _bilinear_window(screen, off, resolution)
+
+    return jnp.sum(jax.vmap(one)(layers.screens, offsets), axis=0)

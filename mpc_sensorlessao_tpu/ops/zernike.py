@@ -200,6 +200,12 @@ def piston_removed_phase(basis: ZernikeBasis, phase: jnp.ndarray) -> jnp.ndarray
     Equivalent of stochasticWave.meanRmPhase (stochasticWave.m:132-142).
     """
     mask = basis.mask.astype(phase.dtype)
-    npx = jnp.sum(mask)
-    mean = jnp.sum(phase * mask, axis=(-2, -1), keepdims=True) / npx
-    return (phase - mean) * mask
+    return piston_removed_phase_masked(phase, mask, jnp.sum(mask))
+
+
+def piston_removed_phase_masked(phase: jnp.ndarray, mask: jnp.ndarray,
+                                mask_npix) -> jnp.ndarray:
+    """meanRmPhase with a precomputed mask/pixel count (hot-loop variant)."""
+    msk = mask.astype(phase.dtype)
+    mean = jnp.sum(phase * msk, axis=(-2, -1), keepdims=True) / mask_npix
+    return (phase - mean) * msk

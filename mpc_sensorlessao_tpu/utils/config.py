@@ -135,6 +135,15 @@ class EstimatorConfig:
     camera_wavelength: float = 532e-9  # [m] (README.md:372)
     pixel_pitch: float = 6.5e-6        # [m] (README.md:371)
     snr_db: float = 10.0               # measurement SNR (README.md:295)
+    # SNR signal reference for the regenerated noise (the reference's
+    # SNR_10.mat blob is missing, SURVEY.md 2c, so the definition is ours):
+    # "mean_abs":     sigma = mean(|b_s|) * 10^(-SNR/20)   (default; average
+    #                 per-pixel signal level -- yields the operating point
+    #                 the published closed loop implies)
+    # "vector_power": sigma^2 = mean(b_s^2) * 10^(-SNR/10) (MATLAB
+    #                 awgn-style; peak-dominated, ~15x stronger)
+    snr_reference: str = "mean_abs"
+    tikhonov: float = 0.0              # optional LS regularization
 
     @property
     def n_diversities(self) -> int:

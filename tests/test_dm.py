@@ -47,11 +47,10 @@ def test_influence_projection_equals_direct_ls_fit():
 
 def test_rad_to_volts_inverse_quadratic():
     cfg = DMConfig()
-    basis = zernike.make_basis(2, 32)
-    model = dm.build(cfg, basis)
     est = EstimatorConfig()
     u = jnp.asarray([-28.0, -1.0, 0.0, 1.0, 28.0])
-    v = np.asarray(dm.rad_to_volts(u, model, est.rad_to_nm))
+    v = np.asarray(dm.rad_to_volts(u, cfg.coeff_a, cfg.coeff_b,
+                                   est.rad_to_nm))
     # forward map: nm = a V^2 + b V (positive branch) must invert
     a, b = cfg.coeff_a, cfg.coeff_b
     nm = np.asarray(u) * est.rad_to_nm

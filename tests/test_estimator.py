@@ -77,11 +77,17 @@ def test_estimator_batched(model128):
     np.testing.assert_allclose(np.asarray(est), np.asarray(alphas), atol=0.02)
 
 
-def test_noise_snr_definition(model128):
-    _, model = model128
+def test_noise_snr_definitions(model128):
+    basis, model = model128
+    # default "mean_abs": sigma = mean(|b_s|) 10^(-SNR/20)
     key = jax.random.PRNGKey(0)
     noise = estimator.sample_noise(model, key, shape=(256,))
-    emp = float(jnp.mean(noise ** 2))
-    sig = float(jnp.mean(model.b_s ** 2))
-    snr_db = 10 * np.log10(sig / emp)
-    assert abs(snr_db - 10.0) < 0.3, snr_db
+    emp_std = float(jnp.std(noise))
+    expect = float(jnp.mean(jnp.abs(model.b_s))) * 10 ** (-10 / 20)
+    assert abs(emp_std / expect - 1.0) < 0.05
+
+    # "vector_power" variant: sigma^2 = mean(b_s^2) 10^(-SNR/10)
+    cfg_vp = EstimatorConfig(resolution=128, snr_reference="vector_power")
+    model_vp = estimator.build(cfg_vp, basis)
+    sig = float(jnp.mean(model_vp.b_s ** 2))
+    assert abs(float(model_vp.noise_std) ** 2 / (sig / 10.0) - 1.0) < 1e-3
