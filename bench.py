@@ -1,0 +1,90 @@
+"""Benchmark: end-to-end MPC control-step throughput on TPU.
+
+Each "solve" is one full sensorless-AO control step -- frozen-flow
+turbulence evolution, 3-diversity PSF formation (batched FFT2), linear LS
+estimate, condensed-QP assembly and the fixed-barrier Newton-KKT fastMPC
+solve, DM modal correction -- batched over Monte-Carlo scenarios.
+
+Baseline: the reference's implied real-time budget of 200 Hz (5 ms per
+control step, README.md:36; BASELINE.md) -> vs_baseline = solves_per_s/200.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env knobs: BENCH_RES (512), BENCH_BATCH (32), BENCH_STEPS (20),
+BENCH_SOLVER (fastmpc), BENCH_REPEATS (3).
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    res = int(os.environ.get("BENCH_RES", "512"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    solver = os.environ.get("BENCH_SOLVER", "fastmpc")
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+
+    from mpc_sensorlessao_tpu.models import pipeline
+    from mpc_sensorlessao_tpu.parallel import montecarlo
+    from mpc_sensorlessao_tpu.utils.config import reference_config
+
+    cfg = reference_config(resolution=res)
+    # shorter ID pre-pass: the benchmark measures the closed loop
+    cfg = cfg.replace(sim=dataclasses.replace(
+        cfg.sim, n_train=300, n_valid=50, n_test=steps))
+
+    t0 = time.time()
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(system.loop.est.A_s)
+    build_s = time.time() - t0
+
+    scen = montecarlo.make_scenarios(
+        cfg, jax.random.PRNGKey(1), batch,
+        d_over_r0_grid=(5.0,), snr_db_grid=(10.0,))
+
+    run = jax.jit(lambda s: montecarlo.run_batch(
+        system.loop, system.layers, cfg, s, n_steps=steps, solver=solver))
+
+    t0 = time.time()
+    out = run(scen)
+    jax.block_until_ready(out.rms_res)
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        out = run(scen)
+        jax.block_until_ready(out.rms_res)
+        times.append(time.time() - t0)
+    best = min(times)
+    solves_per_s = batch * steps / best
+
+    meta = {
+        "build_s": round(build_s, 2),
+        "compile_s": round(compile_s, 2),
+        "run_s": round(best, 4),
+        "resolution": res,
+        "batch": batch,
+        "steps": steps,
+        "solver": solver,
+        "device": str(jax.devices()[0]),
+        "mean_strehl": float(jnp.mean(out.strehl[:, steps // 2:])),
+        "mean_rms_res": float(jnp.mean(out.rms_res[:, steps // 2:])),
+    }
+    print(json.dumps(meta), file=sys.stderr)
+    print(json.dumps({
+        "metric": "mpc_control_steps_per_s",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 200.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,27 +80,34 @@ def _pupil_rms(models: LoopModels, phase):
     return jnp.sqrt(var)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "start_step", "solver"))
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "solver"))
 def simulate(
     models: LoopModels,
     layers: phase_screens.FrozenFlowLayers,
     cfg: SystemConfig,
     key,
     n_steps: int,
-    start_step: int = 0,
+    start_step=0,
     solver: str | None = None,
+    mag=None,
+    noise_scale=1.0,
 ) -> StepOutputs:
     """Run the closed loop for n_steps starting at absolute turbulence step
     ``start_step`` (the reference starts at the test split,
     README.md:429-430).  Single scenario; vmap over (models-shared)
     scenario axes for Monte-Carlo batches.
+
+    ``start_step``, ``mag`` (turbulence magnification, default from
+    cfg.sim) and ``noise_scale`` are traced, so scenario sweeps over
+    turbulence window / D-over-r0 / SNR batch without recompiling.
     """
     solver = solver or cfg.mpc.solver
     R = cfg.resolution
     nu_dim = models.influence.shape[1]
     nx = models.influence.shape[0]
     N = cfg.mpc.horizon
-    mag = jnp.asarray(cfg.sim.magnification, dtype=jnp.float32)
+    if mag is None:
+        mag = jnp.asarray(cfg.sim.magnification, dtype=jnp.float32)
 
     du = cfg.mpc.du_max
     U_min = jnp.full((N * nu_dim,), -cfg.mpc.u_max, dtype=jnp.float32)
@@ -118,7 +125,7 @@ def simulate(
         phase_res = phase_turb + phase_cor
 
         # -- estimator (README.md:457-480) --
-        noise = estimator_model.sample_noise(
+        noise = noise_scale * estimator_model.sample_noise(
             models.est, jax.random.fold_in(key, idx))
         y = estimator_model.measure(models.est, phase_res, noise)
         x0 = estimator_model.estimate(models.est, y)

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import psf, zernike
+from ..ops import dft, psf, zernike
 from ..utils.config import EstimatorConfig
 
 
@@ -48,6 +48,7 @@ class EstimatorModel:
     diversity_phases: jnp.ndarray
     pupil: jnp.ndarray
     noise_std: jnp.ndarray
+    dft_op: jnp.ndarray
     scale: float = struct.field(pytree_node=False)
     crop_half: int = struct.field(pytree_node=False)
 
@@ -81,7 +82,7 @@ def measure(
     """
     y = psf.diversity_measurements(
         phase_res, model.diversity_phases, model.pupil, model.scale,
-        model.crop_half)
+        model.crop_half, dft_op=model.dft_op)
     if noise is not None:
         y = y + noise
     return y
@@ -124,10 +125,13 @@ def build(
     mode_stack = basis.stack[k0:].astype(jnp.float32)
     nx = mode_stack.shape[0]
 
+    dft_op = dft.centered_partial_dft(R, cfg.crop_half)
+
     def forward(alpha):
         phase = jnp.einsum("k,kij->ij", alpha, mode_stack)
         return psf.diversity_measurements(
-            phase, diversity_phases, pupil, scale, cfg.crop_half)
+            phase, diversity_phases, pupil, scale, cfg.crop_half,
+            dft_op=dft_op)
 
     zero = jnp.zeros((nx,), dtype=jnp.float32)
     b_s = forward(zero)
@@ -157,6 +161,7 @@ def build(
         diversity_phases=diversity_phases,
         pupil=pupil,
         noise_std=jnp.asarray(noise_std, dtype=dtype),
+        dft_op=dft_op,
         scale=scale,
         crop_half=cfg.crop_half,
     )

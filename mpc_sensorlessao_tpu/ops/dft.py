@@ -1,0 +1,50 @@
+"""Partial centered 2-D DFT as matmuls (the TPU-native FFT replacement).
+
+The estimator needs only the central (2c+1)^2 crop of
+fftshift(fft2(fftshift(P))) (reference: README.md:468-471).  On TPU the
+right primitive is not an FFT at all: a *partial centered DFT*
+
+    Y[u, v] = sum_{x,y} X[x, y] e^{-2pi i (u-c)(x-c)/N} e^{-2pi i (v-c)(y-c)/N}
+            = (A X A^T)[u, v],     A in C^{w x N},  w = crop width << N
+
+costs two thin complex matmuls (w*N^2 MACs) that map straight onto the
+MXU, versus a full N^2 log N FFT of which all but w^2 outputs are thrown
+away.  (This also sidesteps the axon PJRT backend, where XLA's FFT custom
+call is unimplemented.)
+
+The identity with the fftshift sandwich holds exactly for even N:
+fft2(fftshift(X))[k] = sum_x X[x] e^{-2pi i k(x-c)/N}; re-centering the
+output index k=(u+c) mod N multiplies by e^{-2pi i (x-c)} = 1.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@lru_cache(maxsize=16)
+def _centered_partial_dft_np(n: int, crop_half: int) -> np.ndarray:
+    """A[u, x] = exp(-2pi i (u-c)(x-c)/n), u in [c-half, c+half]."""
+    c = n // 2
+    u = np.arange(c - crop_half, c + crop_half + 1)
+    x = np.arange(n)
+    phase = -2.0 * np.pi * np.outer(u - c, x - c) / n
+    return np.exp(1j * phase).astype(np.complex64)
+
+
+def centered_partial_dft(n: int, crop_half: int) -> jnp.ndarray:
+    """(w, n) complex64 device operator, w = 2*crop_half+1."""
+    return jnp.asarray(_centered_partial_dft_np(n, crop_half))
+
+
+def partial_centered_fft2(field: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """A @ field @ A.T for batched complex fields (..., N, N) -> (..., w, w).
+
+    Equals fftshift(fft2(fftshift(field)))[crop] exactly (see module
+    docstring).  XLA lowers the complex matmuls to real MXU matmuls.
+    """
+    rows = jnp.einsum("un,...nm->...um", A, field)      # (..., w, N)
+    return jnp.einsum("...um,vm->...uv", rows, A)       # (..., w, w)

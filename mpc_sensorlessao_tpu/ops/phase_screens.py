@@ -81,60 +81,60 @@ def synthesize_screen(
     extent = N * pitch
     df = 1.0 / extent
 
-    fx = jnp.fft.fftfreq(N, d=pitch)
-    fr = jnp.sqrt(fx[:, None] ** 2 + fx[None, :] ** 2)
-    psd_root = jnp.sqrt(phase_stats.spectrum(fr, atm, jnp)).astype(jnp.float32)
+    # Host-side synthesis: screens are setup-time artifacts and XLA's FFT
+    # custom call is unavailable on some TPU runtimes (axon); the per-step
+    # hot path never FFTs (frozen flow is sampling, PSFs are partial DFTs).
+    fx = np.fft.fftfreq(N, d=pitch)
+    fr = np.sqrt(fx[:, None] ** 2 + fx[None, :] ** 2)
+    psd_root = np.sqrt(phase_stats.spectrum(fr, atm, np))
     # zero DC: the fundamental patch of the subharmonics (or piston removal)
     # covers it (cf. fourierPhaseScreenStraight, atmosphere.m:505)
-    psd_root = psd_root.at[0, 0].set(0.0)
+    psd_root[0, 0] = 0.0
 
     k_main, k_sub = jax.random.split(key)
-    w = jax.random.normal(k_main, (N, N), dtype=jnp.float32)
-    c = jnp.fft.fft2(w) / N
-    screen = jnp.real(jnp.fft.ifft2(psd_root * c)) * (N * N) * df
+    w = np.asarray(jax.random.normal(k_main, (N, N), dtype=jnp.float32),
+                   dtype=np.float64)
+    c = np.fft.fft2(w) / N
+    screen = np.real(np.fft.ifft2(psd_root * c)) * (N * N) * df
 
     if subharmonic_levels > 0:
         screen = screen + _subharmonics(
             k_sub, atm, N, pitch, df, subharmonic_levels)
-    return screen.astype(dtype)
+    return jnp.asarray(screen, dtype=dtype)
 
 
 def _subharmonics(key, atm: AtmosphereConfig, N: int, pitch: float,
-                  df: float, levels: int) -> jnp.ndarray:
+                  df: float, levels: int) -> np.ndarray:
     """Low-frequency compensation patches (Lane et al. 1992 method; the
     reference's equivalent is fourierSubHarmonicPhaseScreen,
-    atmosphere.m:518-591).
+    atmosphere.m:518-591).  Host-side (setup time).
 
     For each level l, a 3x3 grid of frequencies at spacing df/3^l replaces
     the coarser cell it subdivides; modes whose cell is covered by a deeper
     level (the central 1/3 block) are skipped, as is DC.
     """
-    x = jnp.arange(N, dtype=jnp.float32) * pitch
-    XX = x[:, None]
-    YY = x[None, :]
-    total = jnp.zeros((N, N), dtype=jnp.float32)
+    x = np.arange(N) * pitch
+    XX = x[:, None, None].transpose(2, 0, 1)   # (1, N, 1)
+    YY = x[None, None, :]                      # (1, 1, N)
+    total = np.zeros((N, N))
     keys = jax.random.split(key, levels)
     for lvl in range(1, levels + 1):
         df_l = df / (3.0 ** lvl)
-        freqs = []
-        for p in (-1, 0, 1):
-            for q in (-1, 0, 1):
-                if p == 0 and q == 0:
-                    continue  # central cell: subdivided by the next level
-                freqs.append((p * df_l, q * df_l))
-        f = np.asarray(freqs, dtype=np.float32)                 # (8, 2)
+        freqs = [(p * df_l, q * df_l)
+                 for p in (-1, 0, 1) for q in (-1, 0, 1)
+                 if not (p == 0 and q == 0)]  # center: next level's cell
+        f = np.asarray(freqs)                                   # (8, 2)
         amp = np.sqrt(
             phase_stats.spectrum(np.hypot(f[:, 0], f[:, 1]), atm, np)
-        ).astype(np.float32) * df_l
+        ) * df_l
         ka, kb = jax.random.split(keys[lvl - 1])
-        a = jax.random.normal(ka, (f.shape[0],)) * amp
-        b = jax.random.normal(kb, (f.shape[0],)) * amp
-        phase_arg = 2.0 * math.pi * (
-            XX * jnp.asarray(f[:, 0])[:, None, None]
-            + YY * jnp.asarray(f[:, 1])[:, None, None])
-        total = total + jnp.sum(
-            a[:, None, None] * jnp.cos(phase_arg)
-            + b[:, None, None] * jnp.sin(phase_arg), axis=0)
+        a = np.asarray(jax.random.normal(ka, (f.shape[0],))) * amp
+        b = np.asarray(jax.random.normal(kb, (f.shape[0],))) * amp
+        phase_arg = 2.0 * math.pi * (XX * f[:, 0:1, None]
+                                     + YY * f[:, 1:2, None])
+        total = total + np.sum(
+            a[:, None, None] * np.cos(phase_arg)
+            + b[:, None, None] * np.sin(phase_arg), axis=0)
     return total
 
 

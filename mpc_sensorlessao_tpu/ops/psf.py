@@ -19,6 +19,8 @@ from functools import lru_cache
 import jax.numpy as jnp
 import numpy as np
 
+from . import dft
+
 
 @lru_cache(maxsize=8)
 def pupil_mask_np(resolution: int) -> np.ndarray:
@@ -72,18 +74,43 @@ def measurement_vector(crops: jnp.ndarray) -> jnp.ndarray:
     return colmajor.reshape(*crops.shape[:-3], nd * w * w)
 
 
+def cropped_psf_intensity_dft(
+    phase: jnp.ndarray,
+    pupil: jnp.ndarray,
+    dft_op: jnp.ndarray,
+    scale: float,
+) -> jnp.ndarray:
+    """PSF crop via partial centered DFT matmuls (ops.dft) -- the
+    TPU-native hot path: only the (2c+1)^2 window the estimator consumes
+    is ever computed (vs the reference's full 512^2 FFT, README.md:468).
+    """
+    field = pupil * jnp.exp(1j * phase.astype(jnp.float32))
+    spec = dft.partial_centered_fft2(field, dft_op)
+    return (spec.real ** 2 + spec.imag ** 2) * scale
+
+
 def diversity_measurements(
     phase_res: jnp.ndarray,
     diversity_phases: jnp.ndarray,
     pupil: jnp.ndarray,
     scale: float,
     crop_half: int,
+    dft_op: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full measurement path: residual phase(s) -> stacked PSF vector(s).
 
     phase_res: (..., R, R); diversity_phases: (n_div, R, R) precomputed
     zd * Z_defocus maps (README.md:462-464).  Returns (..., p).
+
+    With ``dft_op`` (from ops.dft.centered_partial_dft) the crop is
+    computed directly by partial-DFT matmuls (TPU path); otherwise via
+    full FFT2 + crop (CPU/reference-parity path).  Both are bit-equal up
+    to float roundoff (tested).
     """
     total = phase_res[..., None, :, :] + diversity_phases
-    im = psf_intensity(total, pupil, scale)
-    return measurement_vector(crop_center(im, crop_half))
+    if dft_op is not None:
+        crops = cropped_psf_intensity_dft(total, pupil, dft_op, scale)
+    else:
+        im = psf_intensity(total, pupil, scale)
+        crops = crop_center(im, crop_half)
+    return measurement_vector(crops)

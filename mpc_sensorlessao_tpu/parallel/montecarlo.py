@@ -1,0 +1,145 @@
+"""Sharded Monte-Carlo closed-loop rollouts.
+
+Implements BASELINE configs 4-5: thousands of parallel frozen-flow
+scenarios (varying turbulence window, D/r0, SNR, noise realization) with
+per-chip `vmap` batches, the scenario axis sharded over the device mesh via
+`shard_map`, and Strehl/RMS statistics reduced with `psum` over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+shard_map = jax.shard_map
+
+from ..models import closed_loop
+from ..utils.config import SystemConfig, mag_conv
+from .mesh import SCENARIO_AXIS
+
+
+class ScenarioBatch(NamedTuple):
+    """Per-scenario traced parameters (leading axis = scenario).
+
+    start_step:  window offset into the periodic frozen-flow screens
+                 (decorrelated turbulence per scenario);
+    mag:         turbulence magnification (D/r0 sweep, README.md:277-284);
+    noise_scale: multiplier on the SNR-defined noise std (SNR sweep);
+    key:         per-scenario noise PRNG key.
+    """
+
+    start_step: jnp.ndarray
+    mag: jnp.ndarray
+    noise_scale: jnp.ndarray
+    key: jnp.ndarray
+
+
+class MonteCarloStats(NamedTuple):
+    """psum-reduced aggregate statistics over all scenarios."""
+
+    mean_rms_res: jnp.ndarray     # settled mean residual RMS [rad]
+    mean_rms_turb: jnp.ndarray
+    mean_strehl: jnp.ndarray
+    max_rms_res: jnp.ndarray
+    mean_cost: jnp.ndarray
+    n_scenarios: jnp.ndarray
+
+
+def make_scenarios(
+    cfg: SystemConfig,
+    key,
+    n_scenarios: int,
+    d_over_r0_grid=(5.0,),
+    snr_db_grid=(10.0,),
+) -> ScenarioBatch:
+    """Sample a scenario batch over (window, D/r0, SNR) axes."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n_total = cfg.sim.n_total
+    start = jax.random.randint(
+        k1, (n_scenarios,), 0, max(n_total, 1)).astype(jnp.float32)
+    mags = jnp.asarray([mag_conv(d) for d in d_over_r0_grid],
+                       dtype=jnp.float32)
+    mag = mags[jax.random.randint(k2, (n_scenarios,), 0, len(mags))]
+    # noise_scale = 10^((SNR_cfg - SNR_scenario)/20)
+    scales = jnp.asarray(
+        [10.0 ** ((cfg.estimator.snr_db - s) / 20.0) for s in snr_db_grid],
+        dtype=jnp.float32)
+    noise_scale = scales[jax.random.randint(k3, (n_scenarios,), 0,
+                                            len(scales))]
+    keys = jax.random.split(k4, n_scenarios)
+    return ScenarioBatch(start_step=start, mag=mag,
+                         noise_scale=noise_scale, key=keys)
+
+
+def _settled_slice(n_steps: int) -> int:
+    return max(n_steps // 2, 1)
+
+
+def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
+              n_steps: int, solver: str | None = None
+              ) -> closed_loop.StepOutputs:
+    """vmap the closed loop over the scenario axis (single device)."""
+
+    def one(s: ScenarioBatch):
+        return closed_loop.simulate(
+            models, layers, cfg, s.key, n_steps=n_steps,
+            start_step=s.start_step, solver=solver, mag=s.mag,
+            noise_scale=s.noise_scale)
+
+    return jax.vmap(one)(scen)
+
+
+def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
+                n_steps: int, mesh, solver: str | None = None
+                ) -> MonteCarloStats:
+    """shard_map over the mesh scenario axis; psum-reduced statistics.
+
+    Scenario count must be a multiple of the mesh size
+    (mesh.pad_to_devices).  Models/layers are replicated (broadcast once),
+    per-scenario parameters sharded; only O(1) statistics cross chips.
+    """
+    n = scen.start_step.shape[0]
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, (n, n_dev)
+    settle = _settled_slice(n_steps)
+
+    def local(models, layers, scen_shard: ScenarioBatch) -> MonteCarloStats:
+        out = run_batch(models, layers, cfg, scen_shard, n_steps, solver)
+        res = out.rms_res[:, settle:]
+        turb = out.rms_turb[:, settle:]
+        strehl = out.strehl[:, settle:]
+        cost = out.cost[:, settle:]
+        local_n = jnp.asarray(res.shape[0], dtype=jnp.float32)
+        stats = MonteCarloStats(
+            mean_rms_res=jax.lax.psum(jnp.sum(jnp.mean(res, axis=1)),
+                                      SCENARIO_AXIS),
+            mean_rms_turb=jax.lax.psum(jnp.sum(jnp.mean(turb, axis=1)),
+                                       SCENARIO_AXIS),
+            mean_strehl=jax.lax.psum(jnp.sum(jnp.mean(strehl, axis=1)),
+                                     SCENARIO_AXIS),
+            max_rms_res=jax.lax.pmax(jnp.max(res), SCENARIO_AXIS),
+            mean_cost=jax.lax.psum(jnp.sum(jnp.mean(cost, axis=1)),
+                                   SCENARIO_AXIS),
+            n_scenarios=jax.lax.psum(local_n, SCENARIO_AXIS),
+        )
+        return stats
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(SCENARIO_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    stats = jax.jit(sharded)(models, layers, scen)
+    n_f = stats.n_scenarios
+    return MonteCarloStats(
+        mean_rms_res=stats.mean_rms_res / n_f,
+        mean_rms_turb=stats.mean_rms_turb / n_f,
+        mean_strehl=stats.mean_strehl / n_f,
+        max_rms_res=stats.max_rms_res,
+        mean_cost=stats.mean_cost / n_f,
+        n_scenarios=n_f,
+    )

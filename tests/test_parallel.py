@@ -1,0 +1,67 @@
+"""Scenario-parallel Monte-Carlo on the 8-device virtual CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mpc_sensorlessao_tpu.models import pipeline
+from mpc_sensorlessao_tpu.parallel import mesh as mesh_lib
+from mpc_sensorlessao_tpu.parallel import montecarlo
+from mpc_sensorlessao_tpu.utils.config import reference_config
+
+
+@pytest.fixture(scope="module")
+def tiny_system():
+    cfg = reference_config(resolution=32)
+    cfg = cfg.replace(
+        sim=dataclasses.replace(cfg.sim, n_train=150, n_valid=20, n_test=30),
+        estimator=dataclasses.replace(cfg.estimator, resolution=32,
+                                      crop_half=7),
+        dm=dataclasses.replace(cfg.dm, n_act_side=8),
+        zernike=dataclasses.replace(cfg.zernike, radial_order=4),
+    )
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    return cfg, system
+
+
+def test_mesh_helpers():
+    assert len(jax.devices()) == 8
+    m = mesh_lib.scenario_mesh()
+    assert m.devices.size == 8
+    assert mesh_lib.pad_to_devices(13, 8) == 16
+
+
+def test_vmapped_scenario_batch(tiny_system):
+    cfg, system = tiny_system
+    scen = montecarlo.make_scenarios(
+        cfg, jax.random.PRNGKey(1), 4,
+        d_over_r0_grid=(2.0, 5.0), snr_db_grid=(5.0, 10.0, 20.0))
+    out = montecarlo.run_batch(system.loop, system.layers, cfg, scen,
+                               n_steps=8)
+    assert out.rms_res.shape == (4, 8)
+    assert np.isfinite(np.asarray(out.rms_res)).all()
+    # different scenarios -> different trajectories
+    r = np.asarray(out.rms_res)
+    assert np.std(r[:, -1]) > 0
+
+
+def test_sharded_monte_carlo_matches_local(tiny_system):
+    cfg, system = tiny_system
+    m = mesh_lib.scenario_mesh()
+    scen = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(2), 16)
+    stats = montecarlo.run_sharded(system.loop, system.layers, cfg, scen,
+                                   n_steps=8, mesh=m)
+    assert float(stats.n_scenarios) == 16
+
+    out = montecarlo.run_batch(system.loop, system.layers, cfg, scen,
+                               n_steps=8)
+    settle = montecarlo._settled_slice(8)
+    local_mean = float(np.mean(np.asarray(out.rms_res)[:, settle:]))
+    np.testing.assert_allclose(float(stats.mean_rms_res), local_mean,
+                               rtol=1e-4)
+    local_strehl = float(np.mean(np.asarray(out.strehl)[:, settle:]))
+    np.testing.assert_allclose(float(stats.mean_strehl), local_strehl,
+                               rtol=1e-4)

@@ -16,10 +16,9 @@ TEL = TelescopeConfig(resolution=32)
 
 def _many_screens(n, res=32, os=4, sub=3):
     keys = jax.random.split(jax.random.PRNGKey(0), n)
-    f = jax.jit(lambda k: phase_screens.synthesize_screen(
+    return np.stack([np.asarray(phase_screens.synthesize_screen(
         k, ATM1, res, TEL.diameter / (res - 1), oversample=os,
-        subharmonic_levels=sub))
-    return np.stack([np.asarray(f(k)) for k in keys])
+        subharmonic_levels=sub)) for k in keys])
 
 
 def test_screen_psd_matches_spectrum():
