@@ -134,8 +134,8 @@ def build(
             dft_op=dft_op)
 
     zero = jnp.zeros((nx,), dtype=jnp.float32)
-    b_s = forward(zero)
-    A_s = jax.jacfwd(forward)(zero)                        # (p, nx)
+    b_s = jax.jit(forward)(zero)
+    A_s = jax.jit(jax.jacfwd(forward))(zero)               # (p, nx)
 
     # Precompute (A'A + lam I)^-1 A' in float64 on host for conditioning.
     A64 = np.asarray(A_s, dtype=np.float64)

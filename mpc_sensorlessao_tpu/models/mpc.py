@@ -16,7 +16,10 @@ Fast_MPC/VAR_1 semantics apply).
 
 from __future__ import annotations
 
+from functools import partial
+
 import flax.struct as struct
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,6 +75,7 @@ def ramp_difference_matrix(nu: int, horizon: int, dtype=jnp.float32):
     return jnp.asarray(E, dtype=dtype)
 
 
+@partial(jax.jit, static_argnames=("horizon",))
 def design_matrices(A1, A2, B, horizon: int, Q, P, R) -> MPCMatrices:
     """Full design-matrix factory (main.mlx CDATA 13, README.md:416-417).
 

@@ -13,16 +13,20 @@ later double-transpose (README.md:286-287) applies only to its re-loaded
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from functools import partial
+from typing import Tuple
 
+import flax.struct as struct
+import jax
 import jax.numpy as jnp
 
 
-class VARModel(NamedTuple):
+@struct.dataclass
+class VARModel:
     """Identified VAR model; A has shape (order, nx, nx)."""
 
     A: jnp.ndarray
-    order: int
+    order: int = struct.field(pytree_node=False)
 
     @property
     def nx(self) -> int:
@@ -46,6 +50,7 @@ def lag_matrix(series: jnp.ndarray, order: int) -> Tuple[jnp.ndarray, jnp.ndarra
     return AA, BB
 
 
+@partial(jax.jit, static_argnames=("order",))
 def fit(series: jnp.ndarray, order: int) -> VARModel:
     """Least-squares VAR fit over the given window (README.md:127-130)."""
     AA, BB = lag_matrix(series, order)

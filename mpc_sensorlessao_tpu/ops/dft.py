@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,15 +37,24 @@ def _centered_partial_dft_np(n: int, crop_half: int) -> np.ndarray:
 
 
 def centered_partial_dft(n: int, crop_half: int) -> jnp.ndarray:
-    """(w, n) complex64 device operator, w = 2*crop_half+1."""
-    return jnp.asarray(_centered_partial_dft_np(n, crop_half))
+    """(2, w, n) float32 device operator [real; imag], w = 2*crop_half+1.
+
+    Stored as stacked real parts: complex64 arrays must never cross the
+    host<->device boundary (the axon PJRT runtime has no complex transfer
+    path); the complex operator is reassembled inside the compiled program.
+    """
+    A = _centered_partial_dft_np(n, crop_half)
+    return jnp.asarray(np.stack([A.real, A.imag]), dtype=jnp.float32)
 
 
-def partial_centered_fft2(field: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+def partial_centered_fft2(field: jnp.ndarray, A_ri: jnp.ndarray) -> jnp.ndarray:
     """A @ field @ A.T for batched complex fields (..., N, N) -> (..., w, w).
 
-    Equals fftshift(fft2(fftshift(field)))[crop] exactly (see module
-    docstring).  XLA lowers the complex matmuls to real MXU matmuls.
+    ``A_ri`` is the (2, w, N) real/imag stack from centered_partial_dft;
+    ``field`` is complex built inside the surrounding jit.  Equals
+    fftshift(fft2(fftshift(field)))[crop] exactly (see module docstring).
+    XLA lowers the complex matmuls to real MXU matmuls.
     """
+    A = jax.lax.complex(A_ri[0], A_ri[1])
     rows = jnp.einsum("un,...nm->...um", A, field)      # (..., w, N)
     return jnp.einsum("...um,vm->...uv", rows, A)       # (..., w, w)
