@@ -128,16 +128,26 @@ def simulate(
         noise = noise_scale * estimator_model.sample_noise(
             models.est, jax.random.fold_in(key, idx))
         y = estimator_model.measure(models.est, phase_res, noise)
-        x0 = estimator_model.estimate(models.est, y)
+        gn = cfg.estimator.gauss_newton_iters
+        if gn > 0:
+            x0 = estimator_model.estimate_gauss_newton(
+                models.est, y, models.state_stack, gn)
+        else:
+            x0 = estimator_model.estimate(models.est, y)
 
         # -- QP assembly (README.md:483-501) --
+        if cfg.mpc.cold_start == "hold":
+            # first step: x0_pre=x0 instead of zeros (see MPCConfig)
+            x_pre_eff = jnp.where(idx == 0, x0, x_pre)
+        else:
+            x_pre_eff = x_pre
         bref = mpc.b_ref(models.mats, u1, u2)
-        r, c, x_free = mpc.gradient_terms(models.mats, x0, x_pre, bref)
+        r, c, x_free = mpc.gradient_terms(models.mats, x0, x_pre_eff, bref)
 
         # -- solve (README.md:504-570) --
         if solver == "fastmpc":
             state = newton_kkt.solve(
-                models.prob, x0, x_pre, bref, horizon=N,
+                models.prob, x0, x_pre_eff, bref, horizon=N,
                 n_newton=cfg.mpc.newton_steps, x_box=cfg.mpc.x_box)
             U = state.U.reshape(-1)
         elif solver == "closed_form":

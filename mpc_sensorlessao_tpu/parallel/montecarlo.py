@@ -54,12 +54,24 @@ def make_scenarios(
     n_scenarios: int,
     d_over_r0_grid=(5.0,),
     snr_db_grid=(10.0,),
+    start_range=None,
 ) -> ScenarioBatch:
-    """Sample a scenario batch over (window, D/r0, SNR) axes."""
+    """Sample a scenario batch over (noise, D/r0, SNR[, window]) axes.
+
+    By default every scenario cold-starts at the test-split step like the
+    reference loop (README.md:429-444) -- a cold start inside a strong
+    turbulence patch is outside the phase-diversity estimator's capture
+    range (physics, not implementation), so window sweeps are opt-in via
+    ``start_range=(lo, hi)``.
+    """
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    n_total = cfg.sim.n_total
-    start = jax.random.randint(
-        k1, (n_scenarios,), 0, max(n_total, 1)).astype(jnp.float32)
+    if start_range is None:
+        s0 = cfg.sim.n_train + cfg.sim.n_valid
+        start = jnp.full((n_scenarios,), float(s0), dtype=jnp.float32)
+    else:
+        start = jax.random.randint(
+            k1, (n_scenarios,), start_range[0],
+            max(start_range[1], start_range[0] + 1)).astype(jnp.float32)
     mags = jnp.asarray([mag_conv(d) for d in d_over_r0_grid],
                        dtype=jnp.float32)
     mag = mags[jax.random.randint(k2, (n_scenarios,), 0, len(mags))]

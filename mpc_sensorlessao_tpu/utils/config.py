@@ -144,6 +144,11 @@ class EstimatorConfig:
     #                 awgn-style; peak-dominated, ~15x stronger)
     snr_reference: str = "mean_abs"
     tikhonov: float = 0.0              # optional LS regularization
+    # Fixed-Jacobian Gauss-Newton refinement iterations: 0 reproduces the
+    # reference's single linearization (README.md:478); >=1 iterates
+    # x <- x + S(y - f(x)) with the exact PSF model, widening the capture
+    # range for strong-turbulence windows (see estimator.py).
+    gauss_newton_iters: int = 1
 
     @property
     def n_diversities(self) -> int:
@@ -178,6 +183,12 @@ class MPCConfig:
     barrier_k: float = 1e-2            # fixed log-barrier parameter
     newton_steps: int = 1              # fixed Newton step count
     solver: str = "fastmpc"            # fastmpc | closed_form | barrier | admm
+    # First-step x0_pre: the reference passes zeros (README.md:485-486),
+    # which makes the near-double-integrator VAR(2) predict ~2x the state
+    # on the cold start and can kick strong-turbulence windows out of the
+    # estimator's capture range.  "hold" uses x0_pre=x0 (static-atmosphere
+    # assumption); "zero" reproduces the reference.
+    cold_start: str = "hold"
 
 
 @dataclass(frozen=True)
