@@ -131,9 +131,15 @@ def assemble_dense(Q, R, Qf, A1, A2, B, w, x0, x0_pre, u_prev,
     h = jnp.concatenate(rows_h, axis=0)
 
     z0 = jnp.zeros((Z,), dtype=dt)
-    u_mid = (u_min + u_max) / 2.0
+    if ramp:
+        # ramp-feasible init (see newton_kkt.init_state: the reference's
+        # midpoint init is infeasible for ramp rows when |u_prev|>du_max)
+        margin = 1e-3 * (u_max - u_min)
+        u_init = jnp.clip(u_prev, u_min + margin, u_max - margin)
+    else:
+        u_init = (u_min + u_max) / 2.0
     for t in range(T):
-        z0 = z0.at[u_off(t):u_off(t) + m].set(u_mid)
+        z0 = z0.at[u_off(t):u_off(t) + m].set(u_init)
 
     return DenseProblem(H=H, g=g, P=P, h=h, C=C, b=b, z_init=z0,
                         barrier_k=jnp.asarray(barrier_k, dtype=dt))
@@ -235,10 +241,16 @@ def admm_condensed(mats: MPCMatrices, r, U_min, U_max, dU_min, dU_max,
 # ---------------------------------------------------------------------------
 
 def make_fastmpc_problem(A1, A2, B, q_weight, p_weight, r_weight,
-                         u_max, barrier_k, dtype=jnp.float32):
+                         u_max, barrier_k, du_max=0.0, u_prev=None,
+                         dtype=jnp.float32):
     """Build a FastMPCProblem from reference-style scalar weights
-    (README.md:344-356: Q=q*I, P=p*Q..., R=r*I, symmetric box)."""
+    (README.md:344-356: Q=q*I, P=p*Q..., R=r*I, symmetric box).
+
+    ``du_max``/``u_prev`` populate the VAR_1-style ramp-row data (used only
+    with solve(..., ramp=True))."""
     n, m = B.shape
+    if u_prev is None:
+        u_prev = jnp.zeros((m,), dtype=dtype)
     return newton_kkt.FastMPCProblem(
         A1=A1.astype(dtype), A2=A2.astype(dtype), B=B.astype(dtype),
         q_diag=jnp.full((n,), q_weight, dtype=dtype),
@@ -247,6 +259,9 @@ def make_fastmpc_problem(A1, A2, B, q_weight, p_weight, r_weight,
         u_min=jnp.full((m,), -u_max, dtype=dtype),
         u_max=jnp.full((m,), u_max, dtype=dtype),
         barrier_k=jnp.asarray(barrier_k, dtype=dtype),
+        du_min=jnp.full((m,), -du_max, dtype=dtype),
+        du_max=jnp.full((m,), du_max, dtype=dtype),
+        u_prev=u_prev.astype(dtype),
     )
 
 

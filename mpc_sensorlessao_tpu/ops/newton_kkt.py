@@ -64,6 +64,12 @@ class FastMPCProblem(NamedTuple):
     u_min: jnp.ndarray
     u_max: jnp.ndarray
     barrier_k: jnp.ndarray
+    # Ramp-rate rows (VAR_1/fast_mpc_ineq_const.m:58-76); used only when
+    # solve(..., ramp=True): du_min <= u_t - u_{t-1} <= du_max with
+    # u_{-1} = u_prev.
+    du_min: jnp.ndarray
+    du_max: jnp.ndarray
+    u_prev: jnp.ndarray
 
 
 class SolverState(NamedTuple):
@@ -72,17 +78,39 @@ class SolverState(NamedTuple):
     nu: jnp.ndarray   # (T, n) equality multipliers
 
 
-def init_state(prob: FastMPCProblem, horizon: int, x_box: float) -> SolverState:
-    """Strictly feasible midpoint init (fast_mpc_init.m:19-27): u and x at
-    box midpoints; x box is +/-x_box (inactive, README.md:538) -> 0."""
+def init_state(prob: FastMPCProblem, horizon: int, x_box: float,
+               ramp: bool = False) -> SolverState:
+    """Strictly feasible init.
+
+    Box-only: midpoints (fast_mpc_init.m:19-27); x box +/-x_box is
+    inactive (README.md:538) -> 0.  With ramp rows the midpoint u=0 is
+    infeasible whenever |u_prev| > du_max (a latent bug in the reference's
+    VAR_1 path, whose init ignores ramp rows); we start at u_t = u_prev
+    (zero increments -> all ramp slacks = du bounds) clipped strictly
+    inside the box.
+    """
     m = prob.u_min.shape[-1]
     n = prob.A1.shape[-1]
-    u0 = jnp.broadcast_to((prob.u_min + prob.u_max) / 2.0, (horizon, m))
+    if ramp:
+        margin = 1e-3 * (prob.u_max - prob.u_min)
+        u_base = jnp.clip(prob.u_prev, prob.u_min + margin,
+                          prob.u_max - margin)
+    else:
+        u_base = (prob.u_min + prob.u_max) / 2.0
+    u0 = jnp.broadcast_to(u_base, (horizon, m))
     return SolverState(
         U=u0,
         X=jnp.zeros((horizon, n), dtype=u0.dtype),
         nu=jnp.zeros((horizon, n), dtype=u0.dtype),
     )
+
+
+def _ramp_slacks(prob: FastMPCProblem, U):
+    """(hi, lo) ramp slacks per stage: stage t row covers u_t - u_{t-1}
+    with u_{-1} = u_prev (VAR_1/fast_mpc_ineq_const.m:58-76)."""
+    u_shift = jnp.concatenate([prob.u_prev[None], U[:-1]], axis=0)
+    dU = U - u_shift
+    return prob.du_max - dU, dU - prob.du_min
 
 
 def equality_rhs(prob: FastMPCProblem, x0, x0_pre, w, horizon: int):
@@ -112,7 +140,8 @@ def _shift_up(arr, k):
     return jnp.concatenate([arr[k:], pad], axis=0) if k else arr
 
 
-def residuals(prob: FastMPCProblem, b, state: SolverState):
+def residuals(prob: FastMPCProblem, b, state: SolverState,
+              ramp: bool = False):
     """Dual and primal residuals (inf_newton_solver.m:12-13).
 
     rd_u = 2 R u + k P'd|_u - B' nu_t
@@ -126,6 +155,11 @@ def residuals(prob: FastMPCProblem, b, state: SolverState):
     k = prob.barrier_k
 
     rd_u = 2.0 * prob.r_diag * U + k * (d_hi - d_lo) - nu @ prob.B
+    if ramp:
+        # stage-t ramp row has +I on u_t, -I on u_{t-1}
+        r_hi, r_lo = _ramp_slacks(prob, U)
+        s = 1.0 / r_hi - 1.0 / r_lo                 # (T, m)
+        rd_u = rd_u + k * (s - _shift_up(s, 1))
     q_stack = jnp.concatenate(
         [jnp.broadcast_to(prob.q_diag, (T - 1, X.shape[1])),
          prob.qf_diag[None]], axis=0) if T > 1 else prob.qf_diag[None]
@@ -143,13 +177,17 @@ def residual_norm(rd_u, rd_x, rp):
                     + jnp.sum(rp ** 2))
 
 
-def newton_direction(prob: FastMPCProblem, b, state: SolverState):
+def newton_direction(prob: FastMPCProblem, b, state: SolverState,
+                     ramp: bool = False):
     """One Newton direction via blockwise Phi and block-banded Schur.
 
     Follows inf_newton_solver.m:24-35 mathematically, exploiting:
-      Phi_u[t] = 2R + k diag(d_hi^2 + d_lo^2)   (diagonal),
+      Phi_u = 2R + k diag(d_hi^2 + d_lo^2)      (diagonal per stage;
+              with ramp rows: per-coordinate tridiagonal across stages),
       Phi_x[t] = 2 Q_t                          (diagonal),
-      S = C Phi^-1 C'  block-banded with bandwidth 2 (VAR(2)).
+      S = C Phi^-1 C'  block-banded with bandwidth 2 (VAR(2)); the ramp
+      coupling makes the u-contribution dense in the stage index, still
+      assembled blockwise.
     """
     U, X, nu = state
     T, m = U.shape
@@ -164,29 +202,58 @@ def newton_direction(prob: FastMPCProblem, b, state: SolverState):
         [jnp.broadcast_to(prob.q_diag, (T - 1, n)), prob.qf_diag[None]],
         axis=0) if T > 1 else prob.qf_diag[None]
     phi_x = 2.0 * q_stack                                      # (T, n)
-    pu = 1.0 / phi_u
     px = 1.0 / phi_x
 
-    rd_u, rd_x, rp = residuals(prob, b, state)
+    rd_u, rd_x, rp = residuals(prob, b, state, ramp=ramp)
 
-    # W[t] = B diag(pu_t) B'  -> (T, n, n)
-    W = jnp.einsum("nm,tm,km->tnk", B, pu, B)
+    if ramp:
+        # Per-coordinate (m independent) T x T tridiagonal Phi_uu: the
+        # stage-t ramp rows contribute w_t (e_t - e_{t-1})(e_t - e_{t-1})'
+        # with w_t = 1/hi_t^2 + 1/lo_t^2 (stage 0: e_0 e_0' only).
+        r_hi, r_lo = _ramp_slacks(prob, U)
+        w = 1.0 / r_hi ** 2 + 1.0 / r_lo ** 2                  # (T, m)
+        w_next = _shift_up(w, 1)
+        diag_c = (phi_u + k * (w + w_next)).T                  # (m, T)
+        off_c = (-k * w[1:]).T                                 # (m, T-1)
+        Phi_u = jnp.zeros((m, T, T), dtype=U.dtype)
+        idx = jnp.arange(T)
+        Phi_u = Phi_u.at[:, idx, idx].set(diag_c)
+        if T > 1:
+            i1 = jnp.arange(1, T)
+            Phi_u = Phi_u.at[:, i1, i1 - 1].set(off_c)
+            Phi_u = Phi_u.at[:, i1 - 1, i1].set(off_c)
+        Ginv = jnp.linalg.inv(Phi_u)                           # (m, T, T)
+
+        def u_solve(v):                                        # (T, m)
+            return jnp.einsum("mts,sm->tm", Ginv, v)
+
+        # u-contribution to S: M[i,j] = B diag(Ginv[:, i, j]) B'
+        M = jnp.einsum("nm,mij,km->ijnk", B, Ginv, B)          # (T,T,n,n)
+    else:
+        pu = 1.0 / phi_u
+
+        def u_solve(v):
+            return v * pu
+
+        W = jnp.einsum("nm,tm,km->tnk", B, pu, B)              # (T, n, n)
 
     # C Phi^-1 rd  (row i)  (see module docstring for C's stage pattern)
-    ru = rd_u * pu
+    ru = u_solve(rd_u)
     rx = rd_x * px
     c_phinv_rd = (-ru @ B.T + rx
                   - _shift_down(rx, 1) @ A1.T
                   - _shift_down(rx, 2) @ A2.T)
     beta = -rp + c_phinv_rd                                    # (T, n)
 
-    # Block-banded S assembly (diag + two sub-diagonals), then dense chol
-    # on the small (T n, T n) system.
+    # Block-banded x-part of S (diag + two sub-diagonals) + u-part, then
+    # dense chol on the small (T n, T n) system.
     px1 = _shift_down(px, 1)                                   # px_{i-1}
     px2 = _shift_down(px, 2)
-    diag_blocks = (W + jnp.eye(n, dtype=U.dtype) * px[:, None, :]
+    diag_blocks = (jnp.eye(n, dtype=U.dtype) * px[:, None, :]
                    + jnp.einsum("nk,tk,mk->tnm", A1, px1, A1)
                    + jnp.einsum("nk,tk,mk->tnm", A2, px2, A2))
+    if not ramp:
+        diag_blocks = diag_blocks + W
     sub1_blocks = (-A1 * px1[:, None, :]
                    + jnp.einsum("nk,tk,mk->tnm", A2, px2, A1))  # S[i, i-1]
     sub2_blocks = -A2 * px2[:, None, :]                         # S[i, i-2]
@@ -200,19 +267,21 @@ def newton_direction(prob: FastMPCProblem, b, state: SolverState):
         if i >= 2:
             S = S.at[i, :, i - 2, :].set(sub2_blocks[i])
             S = S.at[i - 2, :, i, :].set(sub2_blocks[i].T)
+    if ramp:
+        S = S + jnp.moveaxis(M, 1, 2)                           # (T,n,T,n)
     S = S.reshape(T * n, T * n)
 
     chol = jax.scipy.linalg.cho_factor(S, lower=True)
     dnu = -jax.scipy.linalg.cho_solve(chol, beta.reshape(-1)).reshape(T, n)
 
     # dz = Phi^-1 (-rd - C' dnu)
-    dU = (-rd_u + dnu @ B) * pu
+    dU = u_solve(-rd_u + dnu @ B)
     ct_dnu_x = dnu - _shift_up(dnu, 1) @ A1 - _shift_up(dnu, 2) @ A2
     dX = (-rd_x - ct_dnu_x) * px
     return dU, dX, dnu
 
 
-def line_search_step(prob, b, state, direction,
+def line_search_step(prob, b, state, direction, ramp: bool = False,
                      alpha=1e-4, beta=0.5, n_candidates=16):
     """Parallel-candidate norm-descent backtracking.
 
@@ -223,15 +292,20 @@ def line_search_step(prob, b, state, direction,
     check).  Fixed shapes, no data-dependent control flow.
     """
     dU, dX, dnu = direction
-    base = residual_norm(*residuals(prob, b, state))
+    base = residual_norm(*residuals(prob, b, state, ramp=ramp))
     ts = beta ** jnp.arange(n_candidates, dtype=state.U.dtype)
 
     def eval_candidate(t):
         cand = SolverState(state.U + t * dU, state.X + t * dX,
                            state.nu + t * dnu)
-        norm = residual_norm(*residuals(prob, b, cand))
+        norm = residual_norm(*residuals(prob, b, cand, ramp=ramp))
         feasible = jnp.logical_and(
             jnp.all(cand.U < prob.u_max), jnp.all(cand.U > prob.u_min))
+        if ramp:
+            r_hi, r_lo = _ramp_slacks(prob, cand.U)
+            feasible = jnp.logical_and(
+                feasible, jnp.logical_and(jnp.all(r_hi > 0),
+                                          jnp.all(r_lo > 0)))
         ok = jnp.logical_and(norm <= (1.0 - alpha * t) * base, feasible)
         return ok, norm
 
@@ -243,19 +317,24 @@ def line_search_step(prob, b, state, direction,
                        state.nu + t * dnu)
 
 
-@partial(jax.jit, static_argnames=("horizon", "n_newton", "line_search"))
+@partial(jax.jit,
+         static_argnames=("horizon", "n_newton", "line_search", "ramp"))
 def solve(prob: FastMPCProblem, x0, x0_pre, w,
           horizon: int, n_newton: int = 1, x_box: float = 100.0,
-          line_search: bool = True) -> SolverState:
+          line_search: bool = True, ramp: bool = False) -> SolverState:
     """Fixed-barrier fixed-Newton solve (= mpc_fixed_log_newton,
-    Fast_MPC2.m:124-130).  Single scenario; `vmap` for batches."""
+    Fast_MPC2.m:124-130).  Single scenario; `vmap` for batches.
+
+    ``ramp=True`` activates the VAR_1-style ramp-rate rows
+    (VAR_1/fast_mpc_ineq_const.m:58-76) using prob.du_min/du_max/u_prev.
+    """
     b = equality_rhs(prob, x0, x0_pre, w, horizon)
-    state = init_state(prob, horizon, x_box)
+    state = init_state(prob, horizon, x_box, ramp=ramp)
 
     def body(_, st):
-        direction = newton_direction(prob, b, st)
+        direction = newton_direction(prob, b, st, ramp=ramp)
         if line_search:
-            return line_search_step(prob, b, st, direction)
+            return line_search_step(prob, b, st, direction, ramp=ramp)
         dU, dX, dnu = direction
         return SolverState(st.U + dU, st.X + dX, st.nu + dnu)
 
