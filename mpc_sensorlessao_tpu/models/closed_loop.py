@@ -150,6 +150,14 @@ def simulate(
                 models.prob, x0, x_pre_eff, bref, horizon=N,
                 n_newton=cfg.mpc.newton_steps, x_box=cfg.mpc.x_box)
             U = state.U.reshape(-1)
+        elif solver == "fastmpc_ramp":
+            # VAR_1-style active ramp rows with the loop's running u_prev
+            prob_r = models.prob._replace(u_prev=u1)
+            state = newton_kkt.solve(
+                prob_r, x0, x_pre_eff, bref, horizon=N,
+                n_newton=cfg.mpc.newton_steps, x_box=cfg.mpc.x_box,
+                ramp=True)
+            U = state.U.reshape(-1)
         elif solver == "closed_form":
             U = solvers.closed_form(models.mats, r)
         elif solver == "admm":

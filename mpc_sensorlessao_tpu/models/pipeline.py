@@ -74,7 +74,8 @@ def build(cfg: SystemConfig, key) -> System:
         q_weight=cfg.mpc.q_weight,
         p_weight=cfg.mpc.p_weight_scale * cfg.mpc.q_weight,
         r_weight=cfg.mpc.r_weight,
-        u_max=cfg.mpc.u_max, barrier_k=cfg.mpc.barrier_k)
+        u_max=cfg.mpc.u_max, barrier_k=cfg.mpc.barrier_k,
+        du_max=cfg.mpc.du_max)
 
     loop = closed_loop.make_loop_models(basis, est, dm_model, mats, prob)
     return System(basis=basis, layers=layers, est=est, dm_model=dm_model,

@@ -1,0 +1,74 @@
+"""BASELINE.json config-matrix coverage at reduced scale:
+
+1. VAR(1), 28 modes, single realization (fastmpc_ramp = Fast_MPC/VAR_1)
+2. VAR(2), box constraints (default)             [test_closed_loop.py]
+3. Mode sweep 28 -> 66 modes with longer horizon
+4. Batched Monte-Carlo over D/r0 x SNR           [test_parallel.py]
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+
+from mpc_sensorlessao_tpu.models import pipeline
+from mpc_sensorlessao_tpu.utils.config import reference_config
+
+
+def _cfg(resolution=64, **mpc_kw):
+    cfg = reference_config(resolution=resolution)
+    sim = dataclasses.replace(cfg.sim, n_train=300, n_valid=50, n_test=40)
+    mpc = dataclasses.replace(cfg.mpc, **mpc_kw)
+    return cfg.replace(sim=sim, mpc=mpc)
+
+
+def test_var1_pipeline_with_ramp_solver():
+    """Config 1: VAR(1) model + active ramp rows (Fast_MPC/VAR_1)."""
+    cfg = _cfg(var_order=1, solver="fastmpc_ramp")
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    # VAR(1): A2 must be zero in the problem
+    assert float(np.abs(np.asarray(system.loop.prob.A2)).max()) == 0.0
+    out = pipeline.run_closed_loop(system, cfg, jax.random.PRNGKey(1))
+    rms_res = np.asarray(out.rms_res)
+    rms_turb = np.asarray(out.rms_turb)
+    du = np.asarray(out.du)
+    # ramp bound respected by construction
+    assert np.abs(du).max() <= cfg.mpc.du_max * 1.01
+    # slower convergence than unconstrained, but converging
+    assert rms_res[-10:].mean() < 0.75 * rms_turb[-10:].mean()
+
+
+def test_mode_sweep_66_modes_horizon_4():
+    """Config 3: radial order 10 -> 66 modes, horizon 4."""
+    cfg = _cfg(horizon=4)
+    cfg = cfg.replace(zernike=dataclasses.replace(cfg.zernike,
+                                                  radial_order=10))
+    assert cfg.zernike.n_modes == 66
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    assert system.loop.prob.A1.shape == (65, 65)
+    assert system.mats.M1.shape == (4 * 65, 65)
+    out = pipeline.run_closed_loop(system, cfg, jax.random.PRNGKey(1),
+                                   n_steps=25)
+    rms_res = np.asarray(out.rms_res)
+    rms_turb = np.asarray(out.rms_turb)
+    # a 12x12 Gaussian-IF DM cannot span radial order 10, so total-phase
+    # rejection is physically bounded; require stability...
+    assert rms_res[-10:].mean() < 1.3 * rms_turb[-10:].mean()
+    # ...and rejection of the DM-controllable (low-order) content: the
+    # residual's first-27-state estimate must be well below the open-loop
+    # turbulence's low-order content.
+    turb_lo = np.linalg.norm(
+        np.asarray(system.coeff_series)[-40:, 1:28], axis=1).mean()
+    res_lo = np.linalg.norm(np.asarray(out.x_est)[-10:, :27], axis=1).mean()
+    assert res_lo < 0.5 * turb_lo, (res_lo, turb_lo)
+
+
+def test_horizon_8_long():
+    """Longer horizons exercise the banded Schur assembly."""
+    cfg = _cfg(horizon=8)
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    out = pipeline.run_closed_loop(system, cfg, jax.random.PRNGKey(1),
+                                   n_steps=15)
+    assert np.isfinite(np.asarray(out.rms_res)).all()
+    assert np.asarray(out.rms_res)[-5:].mean() < 0.5
