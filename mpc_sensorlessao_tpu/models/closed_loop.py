@@ -61,6 +61,7 @@ class StepOutputs(NamedTuple):
 
 
 def make_loop_models(basis, est, dm_mod, mats, prob) -> LoopModels:
+    import numpy as np
     mask = basis.mask
     return LoopModels(
         est=est,
@@ -69,7 +70,8 @@ def make_loop_models(basis, est, dm_mod, mats, prob) -> LoopModels:
         prob=prob,
         state_stack=basis.stack[1:],
         mask=mask,
-        mask_npix=jnp.sum(mask.astype(jnp.float32)),
+        mask_npix=jnp.asarray(float(np.asarray(mask).sum()),
+                              dtype=jnp.float32),
     )
 
 

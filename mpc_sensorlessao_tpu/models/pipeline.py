@@ -39,16 +39,19 @@ def build(cfg: SystemConfig, key) -> System:
     R = cfg.resolution
     tel = dataclasses.replace(cfg.telescope, resolution=R)
 
-    k_turb, k_noise = jax.random.split(key)
     basis = zernike.make_basis(cfg.zernike.radial_order, R)
-    layers = phase_screens.make_layers(k_turb, cfg.atmosphere, tel)
+    # turbulence screens are seeded from the config (host-side setup)
+    layers = phase_screens.make_layers(int(cfg.sim.seed), cfg.atmosphere,
+                                       tel)
     est = estimator.build(cfg.estimator, basis)
     dm_model = dm.build(cfg.dm, basis)
 
     # Open-loop pre-pass over train+valid (the closed loop runs on the test
     # window, README.md:112-115,429-430); magnification applied like
     # README.md:283-284.
-    mask_npix = jnp.sum(basis.mask.astype(jnp.float32))
+    import numpy as np
+    mask_npix = jnp.asarray(float(np.asarray(basis.mask).sum()),
+                            dtype=jnp.float32)
     n_id = cfg.sim.n_train + cfg.sim.n_valid
     coeffs = closed_loop.turbulence_rollout(
         layers, basis.fit_full, basis.mask, mask_npix,
@@ -64,9 +67,10 @@ def build(cfg: SystemConfig, key) -> System:
 
     nx = A1.shape[0]
     nu = dm_model.n_actuators
-    Q = cfg.mpc.q_weight * jnp.eye(nx, dtype=jnp.float32)
-    P = cfg.mpc.p_weight_scale * Q
-    Rm = cfg.mpc.r_weight * jnp.eye(nu, dtype=jnp.float32)
+    Q = jnp.asarray(cfg.mpc.q_weight * np.eye(nx), dtype=jnp.float32)
+    P = jnp.asarray(cfg.mpc.p_weight_scale * cfg.mpc.q_weight * np.eye(nx),
+                    dtype=jnp.float32)
+    Rm = jnp.asarray(cfg.mpc.r_weight * np.eye(nu), dtype=jnp.float32)
     mats = mpc.design_matrices(A1, A2, dm_model.influence, cfg.mpc.horizon,
                                Q, P, Rm)
     prob = solvers.make_fastmpc_problem(

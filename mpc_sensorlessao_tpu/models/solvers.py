@@ -249,18 +249,19 @@ def make_fastmpc_problem(A1, A2, B, q_weight, p_weight, r_weight,
     ``du_max``/``u_prev`` populate the VAR_1-style ramp-row data (used only
     with solve(..., ramp=True))."""
     n, m = B.shape
+    host = lambda v, size: jnp.asarray(np.full(size, v), dtype=dtype)
     if u_prev is None:
-        u_prev = jnp.zeros((m,), dtype=dtype)
+        u_prev = host(0.0, m)
     return newton_kkt.FastMPCProblem(
         A1=A1.astype(dtype), A2=A2.astype(dtype), B=B.astype(dtype),
-        q_diag=jnp.full((n,), q_weight, dtype=dtype),
-        qf_diag=jnp.full((n,), p_weight, dtype=dtype),
-        r_diag=jnp.full((m,), r_weight, dtype=dtype),
-        u_min=jnp.full((m,), -u_max, dtype=dtype),
-        u_max=jnp.full((m,), u_max, dtype=dtype),
+        q_diag=host(q_weight, n),
+        qf_diag=host(p_weight, n),
+        r_diag=host(r_weight, m),
+        u_min=host(-u_max, m),
+        u_max=host(u_max, m),
         barrier_k=jnp.asarray(barrier_k, dtype=dtype),
-        du_min=jnp.full((m,), -du_max, dtype=dtype),
-        du_max=jnp.full((m,), du_max, dtype=dtype),
+        du_min=host(-du_max, m),
+        du_max=host(du_max, m),
         u_prev=u_prev.astype(dtype),
     )
 

@@ -91,20 +91,32 @@ def synthesize_screen(
     # covers it (cf. fourierPhaseScreenStraight, atmosphere.m:505)
     psd_root[0, 0] = 0.0
 
-    k_main, k_sub = jax.random.split(key)
-    w = np.asarray(jax.random.normal(k_main, (N, N), dtype=jnp.float32),
-                   dtype=np.float64)
+    rng = _host_rng(key)
+    w = rng.standard_normal((N, N))
     c = np.fft.fft2(w) / N
     screen = np.real(np.fft.ifft2(psd_root * c)) * (N * N) * df
 
     if subharmonic_levels > 0:
         screen = screen + _subharmonics(
-            k_sub, atm, N, pitch, df, subharmonic_levels)
-    return jnp.asarray(screen, dtype=dtype)
+            rng, atm, N, pitch, df, subharmonic_levels)
+    return np.asarray(screen, dtype=np.float32)
 
 
-def _subharmonics(key, atm: AtmosphereConfig, N: int, pitch: float,
-                  df: float, levels: int) -> np.ndarray:
+def _host_rng(key) -> np.random.Generator:
+    """Deterministic host RNG from an int seed or a JAX PRNG key.
+
+    Screens are host-side setup artifacts; going through device RNG over a
+    remote TPU tunnel costs seconds per op, so setup accepts plain seeds."""
+    if isinstance(key, (int, np.integer)):
+        entropy = [int(key)]
+    else:
+        entropy = [int(v) for v in
+                   np.asarray(jax.random.key_data(key)).ravel()]
+    return np.random.default_rng(np.random.SeedSequence(entropy))
+
+
+def _subharmonics(rng: np.random.Generator, atm: AtmosphereConfig, N: int,
+                  pitch: float, df: float, levels: int) -> np.ndarray:
     """Low-frequency compensation patches (Lane et al. 1992 method; the
     reference's equivalent is fourierSubHarmonicPhaseScreen,
     atmosphere.m:518-591).  Host-side (setup time).
@@ -117,7 +129,6 @@ def _subharmonics(key, atm: AtmosphereConfig, N: int, pitch: float,
     XX = x[:, None, None].transpose(2, 0, 1)   # (1, N, 1)
     YY = x[None, None, :]                      # (1, 1, N)
     total = np.zeros((N, N))
-    keys = jax.random.split(key, levels)
     for lvl in range(1, levels + 1):
         df_l = df / (3.0 ** lvl)
         freqs = [(p * df_l, q * df_l)
@@ -127,9 +138,8 @@ def _subharmonics(key, atm: AtmosphereConfig, N: int, pitch: float,
         amp = np.sqrt(
             phase_stats.spectrum(np.hypot(f[:, 0], f[:, 1]), atm, np)
         ) * df_l
-        ka, kb = jax.random.split(keys[lvl - 1])
-        a = np.asarray(jax.random.normal(ka, (f.shape[0],))) * amp
-        b = np.asarray(jax.random.normal(kb, (f.shape[0],))) * amp
+        a = rng.standard_normal(f.shape[0]) * amp
+        b = rng.standard_normal(f.shape[0]) * amp
         phase_arg = 2.0 * math.pi * (XX * f[:, 0:1, None]
                                      + YY * f[:, 1:2, None])
         total = total + np.sum(
@@ -152,19 +162,23 @@ def make_layers(
     """
     R = tel.resolution
     pitch = tel.pixel_pitch
-    keys = jax.random.split(key, atm.n_layers)
+    if isinstance(key, (int, np.integer)):
+        seeds = [int(key) * 1000003 + i for i in range(atm.n_layers)]
+    else:
+        data = np.asarray(jax.random.key_data(key)).astype(np.uint64).ravel()
+        seeds = [int(data[-1]) * 1000003 + i for i in range(atm.n_layers)]
     screens = []
     steps = []
     for i in range(atm.n_layers):
         slab = atm.layer(i)
-        screens.append(synthesize_screen(keys[i], slab, R, pitch,
-                                         dtype=dtype))
+        screens.append(np.asarray(synthesize_screen(
+            seeds[i], slab, R, pitch, dtype=dtype)))
         v = atm.wind_speeds[i]
         th = atm.wind_directions[i]
         dpx = v * tel.sampling_time / pitch
         steps.append((dpx * math.sin(th), dpx * math.cos(th)))  # (row, col)
     return FrozenFlowLayers(
-        screens=jnp.stack(screens),
+        screens=jnp.asarray(np.stack(screens), dtype=dtype),
         step_px=jnp.asarray(np.asarray(steps), dtype=dtype),
     )
 
