@@ -190,13 +190,17 @@ def _bilinear_window(screen: jnp.ndarray, offset_rc, size: int) -> jnp.ndarray:
     (telescopeAbstract.m:1011-1062), but on a periodic screen: integer part
     handled by jnp.roll (wraps), fractional part by a 4-tap blend.
     """
+    N = screen.shape[0]
     oy, ox = offset_rc[0], offset_rc[1]
     iy = jnp.floor(oy).astype(jnp.int32)
     ix = jnp.floor(ox).astype(jnp.int32)
     fy = (oy - iy).astype(screen.dtype)
     fx = (ox - ix).astype(screen.dtype)
-    rolled = jnp.roll(screen, shift=(-iy, -ix), axis=(0, 1))
-    w = rolled[: size + 1, : size + 1]
+    # gather only the (size+1)^2 window with wrapped indices (a whole-array
+    # roll would move the full oversampled screen through HBM every step)
+    rows = jnp.mod(iy + jnp.arange(size + 1), N)
+    cols = jnp.mod(ix + jnp.arange(size + 1), N)
+    w = screen[rows[:, None], cols[None, :]]
     return ((1 - fy) * (1 - fx) * w[:size, :size]
             + (1 - fy) * fx * w[:size, 1:]
             + fy * (1 - fx) * w[1:, :size]
