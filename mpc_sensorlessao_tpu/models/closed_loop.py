@@ -39,6 +39,7 @@ class LoopModels(NamedTuple):
     influence: jnp.ndarray        # (nx, n_act)
     mats: mpc.MPCMatrices
     prob: newton_kkt.FastMPCProblem
+    fixed_op: newton_kkt.FixedNewtonOperator
     state_stack: jnp.ndarray      # (nx, R, R) Zernike modes excl. piston
     mask: jnp.ndarray             # (R, R) pupil mask
     mask_npix: jnp.ndarray        # scalar
@@ -60,7 +61,8 @@ class StepOutputs(NamedTuple):
     strehl: jnp.ndarray         # Marechal approximation exp(-sigma^2)
 
 
-def make_loop_models(basis, est, dm_mod, mats, prob) -> LoopModels:
+def make_loop_models(basis, est, dm_mod, mats, prob,
+                     horizon: int = 2) -> LoopModels:
     import numpy as np
     mask = basis.mask
     return LoopModels(
@@ -68,6 +70,7 @@ def make_loop_models(basis, est, dm_mod, mats, prob) -> LoopModels:
         influence=dm_mod.influence,
         mats=mats,
         prob=prob,
+        fixed_op=newton_kkt.precompute_fixed_newton(prob, horizon),
         state_stack=basis.stack[1:],
         mask=mask,
         mask_npix=jnp.asarray(float(np.asarray(mask).sum()),
@@ -148,9 +151,16 @@ def simulate(
 
         # -- solve (README.md:504-570) --
         if solver == "fastmpc":
-            state = newton_kkt.solve(
-                models.prob, x0, x_pre_eff, bref, horizon=N,
-                n_newton=cfg.mpc.newton_steps, x_box=cfg.mpc.x_box)
+            if cfg.mpc.newton_steps == 1:
+                # real-time mode: constant-slack single Newton step via
+                # precomputed operators (see newton_kkt.FixedNewtonOperator)
+                state = newton_kkt.solve_fixed(
+                    models.prob, models.fixed_op, x0, x_pre_eff, bref,
+                    horizon=N)
+            else:
+                state = newton_kkt.solve(
+                    models.prob, x0, x_pre_eff, bref, horizon=N,
+                    n_newton=cfg.mpc.newton_steps, x_box=cfg.mpc.x_box)
             U = state.U.reshape(-1)
         elif solver == "fastmpc_ramp":
             # VAR_1-style active ramp rows with the loop's running u_prev

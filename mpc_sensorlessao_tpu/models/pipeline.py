@@ -81,7 +81,8 @@ def build(cfg: SystemConfig, key) -> System:
         u_max=cfg.mpc.u_max, barrier_k=cfg.mpc.barrier_k,
         du_max=cfg.mpc.du_max)
 
-    loop = closed_loop.make_loop_models(basis, est, dm_model, mats, prob)
+    loop = closed_loop.make_loop_models(basis, est, dm_model, mats, prob,
+                                        horizon=cfg.mpc.horizon)
     return System(basis=basis, layers=layers, est=est, dm_model=dm_model,
                   var_model=vmodel, mats=mats, loop=loop,
                   coeff_series=coeffs)

@@ -317,6 +317,100 @@ def line_search_step(prob, b, state, direction, ramp: bool = False,
                        state.nu + t * dnu)
 
 
+class FixedNewtonOperator(NamedTuple):
+    """Precomputed single-Newton-step solve operators.
+
+    In the reference's real-time mode -- ONE Newton step from the midpoint
+    init (Fast_MPC2.m:124-130, README.md:551-553) -- the barrier slacks at
+    the initial iterate are constants (u=0 in a symmetric box), so the
+    primal Hessian Phi and the dual Schur complement S are the SAME for
+    every scenario and every control step.  The entire Newton direction
+    collapses to precomputed linear maps of the equality rhs b:
+
+        beta = b            (rd(z0, nu0=0) = 0 exactly: u=0 kills the
+                             control gradient, d_hi=d_lo kills the barrier
+                             gradient, X=0 kills the state gradient)
+        dnu  = -S^-1 b
+        dU_t = pu0 * (B' dnu_t),   dX_t = -px_t * (C' dnu)_x,t
+
+    so the per-solve cost is two small matmuls -- no factorization at all.
+    Only the (optional) line search still evaluates barrier residuals.
+    """
+
+    neg_s_inv: jnp.ndarray   # (T*n, T*n)
+    pu0: jnp.ndarray         # (m,) 1/Phi_u at init
+    px: jnp.ndarray          # (T, n) 1/Phi_x
+
+
+def precompute_fixed_newton(prob: FastMPCProblem,
+                            horizon: int) -> FixedNewtonOperator:
+    """Build the constant operators (once per problem; host/jit)."""
+    T = horizon
+    n = prob.A1.shape[-1]
+    m = prob.B.shape[-1]
+    dt = prob.B.dtype
+    A1, A2, B = prob.A1, prob.A2, prob.B
+    k = prob.barrier_k
+
+    u0 = (prob.u_min + prob.u_max) / 2.0
+    d_hi = 1.0 / (prob.u_max - u0)
+    d_lo = 1.0 / (u0 - prob.u_min)
+    phi_u0 = 2.0 * prob.r_diag + k * (d_hi ** 2 + d_lo ** 2)
+    pu0 = 1.0 / phi_u0
+    q_stack = jnp.concatenate(
+        [jnp.broadcast_to(prob.q_diag, (T - 1, n)), prob.qf_diag[None]],
+        axis=0) if T > 1 else prob.qf_diag[None]
+    px = 1.0 / (2.0 * q_stack)
+
+    W0 = jnp.einsum("nm,m,km->nk", B, pu0, B)
+    px1 = _shift_down(px, 1)
+    px2 = _shift_down(px, 2)
+    diag_blocks = (W0[None] + jnp.eye(n, dtype=dt) * px[:, None, :]
+                   + jnp.einsum("nk,tk,mk->tnm", A1, px1, A1)
+                   + jnp.einsum("nk,tk,mk->tnm", A2, px2, A2))
+    sub1_blocks = (-A1 * px1[:, None, :]
+                   + jnp.einsum("nk,tk,mk->tnm", A2, px2, A1))
+    sub2_blocks = -A2 * px2[:, None, :]
+    S = jnp.zeros((T, n, T, n), dtype=dt)
+    for i in range(T):
+        S = S.at[i, :, i, :].set(diag_blocks[i])
+        if i >= 1:
+            S = S.at[i, :, i - 1, :].set(sub1_blocks[i])
+            S = S.at[i - 1, :, i, :].set(sub1_blocks[i].T)
+        if i >= 2:
+            S = S.at[i, :, i - 2, :].set(sub2_blocks[i])
+            S = S.at[i - 2, :, i, :].set(sub2_blocks[i].T)
+    S = S.reshape(T * n, T * n)
+    neg_s_inv = -jnp.linalg.inv(S)
+    return FixedNewtonOperator(neg_s_inv=neg_s_inv, pu0=pu0, px=px)
+
+
+@partial(jax.jit, static_argnames=("horizon", "line_search"))
+def solve_fixed(prob: FastMPCProblem, op: FixedNewtonOperator,
+                x0, x0_pre, w, horizon: int,
+                line_search: bool = True) -> SolverState:
+    """Single-Newton-step solve via the precomputed operators.
+
+    Bit-equivalent to solve(..., n_newton=1) for symmetric boxes and zero
+    linear costs (tested); the hot path is two matmuls + the parallel
+    line search.  Single scenario; vmap for batches.
+    """
+    T = horizon
+    n = prob.A1.shape[-1]
+    m = prob.B.shape[-1]
+    b = equality_rhs(prob, x0, x0_pre, w, horizon)
+    state = init_state(prob, horizon, 0.0)
+
+    dnu = (op.neg_s_inv @ b.reshape(-1)).reshape(T, n)
+    dU = (dnu @ prob.B) * op.pu0
+    ct_dnu_x = dnu - _shift_up(dnu, 1) @ prob.A1 - _shift_up(dnu, 2) @ prob.A2
+    dX = -ct_dnu_x * op.px
+
+    if line_search:
+        return line_search_step(prob, b, state, (dU, dX, dnu))
+    return SolverState(state.U + dU, state.X + dX, state.nu + dnu)
+
+
 @partial(jax.jit,
          static_argnames=("horizon", "n_newton", "line_search", "ramp"))
 def solve(prob: FastMPCProblem, x0, x0_pre, w,
