@@ -22,6 +22,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+try:  # persistent compile cache smooths remote-compile latency across runs
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpcsao_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 
 def main():
     res = int(os.environ.get("BENCH_RES", "512"))

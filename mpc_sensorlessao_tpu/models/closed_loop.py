@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import newton_kkt, phase_screens, zernike
+from ..utils import hostcompute
 from ..utils.config import SystemConfig
 from . import dm as dm_model
 from . import estimator as estimator_model
@@ -70,7 +71,9 @@ def make_loop_models(basis, est, dm_mod, mats, prob,
         influence=dm_mod.influence,
         mats=mats,
         prob=prob,
-        fixed_op=newton_kkt.precompute_fixed_newton(prob, horizon),
+        fixed_op=hostcompute.to_default(newton_kkt.precompute_fixed_newton(
+            jax.tree.map(lambda a: jax.device_put(
+                a, hostcompute.cpu_device()), prob), horizon)),
         state_stack=basis.stack[1:],
         mask=mask,
         mask_npix=jnp.asarray(float(np.asarray(mask).sum()),

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import dft, psf, zernike
+from ..utils import hostcompute
 from ..utils.config import EstimatorConfig
 
 
@@ -157,9 +158,17 @@ def build(
             phase, diversity_phases, pupil, scale, cfg.crop_half,
             dft_op=dft_op)
 
-    zero = jnp.zeros((nx,), dtype=jnp.float32)
-    b_s = jax.jit(forward)(zero)
-    A_s = jax.jit(jax.jacfwd(forward))(zero)               # (p, nx)
+    # setup-time linearization on the host CPU backend (tunnelled-TPU
+    # remote compiles are erratically slow; see utils.hostcompute)
+    cpu = hostcompute.cpu_device()
+    mode_stack = jax.device_put(mode_stack, cpu)
+    diversity_phases = jax.device_put(diversity_phases, cpu)
+    pupil = jax.device_put(pupil, cpu)
+    dft_op = jax.device_put(dft_op, cpu)
+    with hostcompute.on_cpu():
+        zero = jax.device_put(jnp.zeros((nx,), dtype=jnp.float32), cpu)
+        b_s = jax.jit(forward)(zero)
+        A_s = jax.jit(jax.jacfwd(forward))(zero)           # (p, nx)
 
     # Precompute (A'A + lam I)^-1 A' in float64 on host for conditioning.
     A64 = np.asarray(A_s, dtype=np.float64)
@@ -178,7 +187,7 @@ def build(
     else:
         raise ValueError(f"unknown snr_reference '{cfg.snr_reference}'")
 
-    return EstimatorModel(
+    return hostcompute.to_default(EstimatorModel(
         A_s=A_s.astype(dtype),
         b_s=b_s.astype(dtype),
         solve_op=jnp.asarray(solve_op, dtype=dtype),
@@ -188,4 +197,4 @@ def build(
         dft_op=dft_op,
         scale=scale,
         crop_half=cfg.crop_half,
-    )
+    ))

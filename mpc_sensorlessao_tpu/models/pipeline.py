@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import phase_screens, zernike
+from ..utils import hostcompute
 from ..utils.config import SystemConfig
 from . import closed_loop, dm, estimator, mpc, solvers, var
 
@@ -71,8 +72,13 @@ def build(cfg: SystemConfig, key) -> System:
     P = jnp.asarray(cfg.mpc.p_weight_scale * cfg.mpc.q_weight * np.eye(nx),
                     dtype=jnp.float32)
     Rm = jnp.asarray(cfg.mpc.r_weight * np.eye(nu), dtype=jnp.float32)
-    mats = mpc.design_matrices(A1, A2, dm_model.influence, cfg.mpc.horizon,
-                               Q, P, Rm)
+    with hostcompute.on_cpu():
+        mats = mpc.design_matrices(
+            jax.device_put(A1, hostcompute.cpu_device()),
+            jax.device_put(A2, hostcompute.cpu_device()),
+            jax.device_put(dm_model.influence, hostcompute.cpu_device()),
+            cfg.mpc.horizon, Q, P, Rm)
+    mats = hostcompute.to_default(mats)
     prob = solvers.make_fastmpc_problem(
         A1, A2, dm_model.influence,
         q_weight=cfg.mpc.q_weight,
