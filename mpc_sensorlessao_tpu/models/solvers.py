@@ -41,6 +41,37 @@ def closed_form(mats: MPCMatrices, r: jnp.ndarray) -> jnp.ndarray:
     return r @ mats.closed_form.T
 
 
+def geninv(G: jnp.ndarray, tol_factor: float = 1e-9) -> jnp.ndarray:
+    """Moore-Penrose inverse via full-rank Cholesky (Courrieu 2008).
+
+    Port of the reference's `geninv` timing variant (main.mlx CDATA 15):
+    A = G'G (or GG'), full-rank Cholesky L with column dropping, then
+    Y = L (L'L)^-2 L' G'.  Here the rank-revealing column drop is replaced
+    by a fixed-shape pass that zeroes deficient columns (XLA needs static
+    shapes); full-rank inputs match MATLAB's result.
+    """
+    m, n = G.shape
+    transpose = m < n
+    A = (G @ G.T) if transpose else (G.T @ G)
+    k = A.shape[0]
+    dA = jnp.diag(A)
+    tol = jnp.min(jnp.where(dA > 0, dA, jnp.inf)) * tol_factor
+
+    def body(j, L):
+        col = A[:, j] - L @ L[j, :]
+        piv = col[j]
+        good = piv > tol
+        denom = jnp.sqrt(jnp.where(good, piv, 1.0))
+        newcol = jnp.where(good, col / denom, 0.0)
+        newcol = newcol * (jnp.arange(k) >= j)
+        return L.at[:, j].set(newcol)
+
+    L = jax.lax.fori_loop(0, k, body, jnp.zeros_like(A))
+    M = jnp.linalg.pinv(L.T @ L)
+    core = L @ M @ M @ L.T
+    return (G.T @ core) if transpose else (core @ G.T)
+
+
 # ---------------------------------------------------------------------------
 # dense stacked fastMPC (oracle; literal MATLAB layout)
 # ---------------------------------------------------------------------------

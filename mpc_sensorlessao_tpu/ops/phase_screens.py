@@ -63,13 +63,20 @@ def synthesize_screen(
     pitch: float,
     oversample: int | None = None,
     subharmonic_levels: int | None = None,
+    method: str = "fourier",
     dtype=jnp.float32,
 ) -> jnp.ndarray:
     """One Von Karman screen, (os*n_pixels)^2, periodic.
 
-    Follows fourierPhaseScreen (atmosphere.m:449-474):
-    map = real(ifft2(psdRoot .* fft2(randn(N))/N)) * N^2 * df,
-    plus subharmonic patches below the fundamental frequency.
+    Methods (mirroring the reference's synthesis family):
+      "fourier":  fourierPhaseScreen (atmosphere.m:449-474):
+                  map = real(ifft2(psdRoot .* fft2(randn(N))/N)) * N^2 * df,
+                  plus subharmonic patches below the fundamental frequency;
+      "straight": fourierPhaseScreenStraight (atmosphere.m:476-516):
+                  complex spectral draws, DC zeroed, no oversampling gain;
+      "cholesky": choleskyPhaseScreen (atmosphere.m:593-641): exact dense
+                  covariance factorization -- small grids only
+                  (O(N^4) memory), no periodicity.
     ``atm`` should be a single-layer slab (atm.layer(i)) so the fractional
     r0 weighting is per layer.
     """
@@ -77,6 +84,12 @@ def synthesize_screen(
         oversample = atm.oversample
     if subharmonic_levels is None:
         subharmonic_levels = atm.subharmonic_levels
+    if method == "cholesky":
+        return _cholesky_screen(key, atm, oversample * n_pixels, pitch)
+    if method == "straight":
+        return _straight_screen(key, atm, oversample * n_pixels, pitch)
+    if method != "fourier":
+        raise ValueError(f"unknown screen method '{method}'")
     N = oversample * n_pixels
     extent = N * pitch
     df = 1.0 / extent
@@ -100,6 +113,38 @@ def synthesize_screen(
         screen = screen + _subharmonics(
             rng, atm, N, pitch, df, subharmonic_levels)
     return np.asarray(screen, dtype=np.float32)
+
+
+def _straight_screen(key, atm: AtmosphereConfig, N: int,
+                     pitch: float) -> np.ndarray:
+    """fourierPhaseScreenStraight (atmosphere.m:476-516): independent
+    complex spectral draws cn = (randn + i randn) sqrt(PSD) df, DC zeroed,
+    out = real(ifftshift(ifft2(ifftshift(cn)))) N^2."""
+    rng = _host_rng(key)
+    del_f = 1.0 / (N * pitch)
+    fx = (np.arange(N) - N // 2) * del_f
+    f = np.hypot(fx[:, None], fx[None, :])
+    psd = phase_stats.spectrum(f, atm, np)
+    psd[N // 2, N // 2] = 0.0
+    cn = ((rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
+          * np.sqrt(psd) * del_f)
+    out = np.real(np.fft.ifftshift(np.fft.ifft2(np.fft.ifftshift(cn)))) * N * N
+    return np.asarray(out, dtype=np.float32)
+
+
+def _cholesky_screen(key, atm: AtmosphereConfig, N: int,
+                     pitch: float) -> np.ndarray:
+    """choleskyPhaseScreen (atmosphere.m:593-641): exact sampling via a
+    dense covariance Cholesky factor; O(N^4) -- small N only."""
+    if N > 96:
+        raise ValueError("cholesky screens are O(N^4); use N<=96")
+    rng = _host_rng(key)
+    ax = np.arange(N) * pitch
+    pts = (ax[:, None] + 1j * ax[None, :]).ravel()
+    C = phase_stats.covariance_matrix(pts, pts, atm)
+    L = np.linalg.cholesky(C + 1e-9 * np.eye(N * N))
+    return np.asarray((L @ rng.standard_normal(N * N)).reshape(N, N),
+                      dtype=np.float32)
 
 
 def _host_rng(key) -> np.random.Generator:
