@@ -216,8 +216,12 @@ def make_layers(
     steps = []
     for i in range(atm.n_layers):
         slab = atm.layer(i)
-        screens.append(np.asarray(synthesize_screen(
-            seeds[i], slab, R, pitch, dtype=dtype)))
+        scr = np.asarray(synthesize_screen(seeds[i], slab, R, pitch,
+                                           dtype=dtype))
+        # wrap-pad by the window size so per-step sampling is a plain
+        # dynamic_slice (no runtime modular gather -- slow on TPU)
+        scr = np.pad(scr, ((0, R + 1), (0, R + 1)), mode="wrap")
+        screens.append(scr)
         v = atm.wind_speeds[i]
         th = atm.wind_directions[i]
         dpx = v * tel.sampling_time / pitch
@@ -235,17 +239,16 @@ def _bilinear_window(screen: jnp.ndarray, offset_rc, size: int) -> jnp.ndarray:
     (telescopeAbstract.m:1011-1062), but on a periodic screen: integer part
     handled by jnp.roll (wraps), fractional part by a 4-tap blend.
     """
-    N = screen.shape[0]
+    N = screen.shape[0] - (size + 1)   # period of the wrap-padded screen
     oy, ox = offset_rc[0], offset_rc[1]
     iy = jnp.floor(oy).astype(jnp.int32)
     ix = jnp.floor(ox).astype(jnp.int32)
     fy = (oy - iy).astype(screen.dtype)
     fx = (ox - ix).astype(screen.dtype)
-    # gather only the (size+1)^2 window with wrapped indices (a whole-array
-    # roll would move the full oversampled screen through HBM every step)
-    rows = jnp.mod(iy + jnp.arange(size + 1), N)
-    cols = jnp.mod(ix + jnp.arange(size + 1), N)
-    w = screen[rows[:, None], cols[None, :]]
+    # screens are wrap-padded by size+1 (make_layers), so a single
+    # dynamic_slice at the wrapped start covers the whole window
+    w = jax.lax.dynamic_slice(
+        screen, (jnp.mod(iy, N), jnp.mod(ix, N)), (size + 1, size + 1))
     return ((1 - fy) * (1 - fx) * w[:size, :size]
             + (1 - fy) * fx * w[:size, 1:]
             + fy * (1 - fx) * w[1:, :size]

@@ -33,8 +33,11 @@ def _oracle_params(cfg, system, solver):
     q = cfg.mpc.q_weight
     nx = 27
     n_act = 144
+    R_ = np.asarray(system.basis.mask).shape[0]
+    padded = np.asarray(system.layers.screens, dtype=np.float64)
     return {
-        "screens": np.asarray(system.layers.screens, dtype=np.float64),
+        # strip the engine's wrap-padding: the oracle wraps by itself
+        "screens": padded[:, : -(R_ + 1), : -(R_ + 1)],
         "step_px": np.asarray(system.layers.step_px, dtype=np.float64),
         "start": float(cfg.sim.n_train + cfg.sim.n_valid),
         "mag": cfg.sim.magnification,

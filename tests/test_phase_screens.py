@@ -96,7 +96,8 @@ def test_frozen_flow_fractional_shift_interpolates():
 def test_multi_layer_sum_and_shapes():
     layers = phase_screens.make_layers(
         jax.random.PRNGKey(3), AtmosphereConfig(), TEL)
-    assert layers.screens.shape == (3, 128, 128)
+    # 4x oversampled screens, wrap-padded by the window size (32+1)
+    assert layers.screens.shape == (3, 128 + 33, 128 + 33)
     ph = phase_screens.phase_at(layers, 17.5, 32)
     assert ph.shape == (32, 32)
     assert np.isfinite(np.asarray(ph)).all()
