@@ -145,6 +145,12 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
         out_specs=P(),
         check_vma=False,
     )
+    # place inputs explicitly (setup-time arrays may be committed to a
+    # single device by the host-compute path)
+    from jax.sharding import NamedSharding
+    models = jax.device_put(models, NamedSharding(mesh, P()))
+    layers = jax.device_put(layers, NamedSharding(mesh, P()))
+    scen = jax.device_put(scen, NamedSharding(mesh, P(SCENARIO_AXIS)))
     stats = jax.jit(sharded)(models, layers, scen)
     n_f = stats.n_scenarios
     return MonteCarloStats(
