@@ -54,14 +54,23 @@ def build(cfg: SystemConfig, key) -> System:
     mask_npix = jnp.asarray(float(np.asarray(basis.mask).sum()),
                             dtype=jnp.float32)
     n_id = cfg.sim.n_train + cfg.sim.n_valid
-    coeffs = closed_loop.turbulence_rollout(
-        layers, basis.fit_full, basis.mask, mask_npix,
-        n_steps=n_id, resolution=R, start_step=0,
-        mag=cfg.sim.magnification)
+    # rollout + VAR fit on the host CPU backend: one-off setup work;
+    # remote-TPU compiles are erratically slow (utils.hostcompute)
+    cpu = hostcompute.cpu_device()
+    with hostcompute.on_cpu():
+        coeffs = closed_loop.turbulence_rollout(
+            jax.device_put(layers, cpu),
+            jax.device_put(basis.fit_full, cpu),
+            jax.device_put(basis.mask, cpu),
+            jax.device_put(mask_npix, cpu),
+            n_steps=n_id, resolution=R, start_step=0,
+            mag=cfg.sim.magnification)
 
-    # VAR fit on the training window, piston removed (README.md:110-130)
-    states = coeffs[:, 1:]
-    vmodel = var.fit(states[:cfg.sim.n_train], cfg.mpc.var_order)
+        # VAR fit on the training window, piston removed (README.md:110-130)
+        states = coeffs[:, 1:]
+        vmodel = var.fit(states[:cfg.sim.n_train], cfg.mpc.var_order)
+    coeffs = hostcompute.to_default(coeffs)
+    vmodel = hostcompute.to_default(vmodel)
     A1 = vmodel.coefficient(1)
     A2 = (vmodel.coefficient(2) if cfg.mpc.var_order >= 2
           else jnp.zeros_like(A1))
