@@ -52,6 +52,7 @@ class EstimatorModel:
     dft_op: jnp.ndarray
     scale: float = struct.field(pytree_node=False)
     crop_half: int = struct.field(pytree_node=False)
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def n_pixels(self) -> int:
@@ -83,7 +84,7 @@ def measure(
     """
     y = psf.diversity_measurements(
         phase_res, model.diversity_phases, model.pupil, model.scale,
-        model.crop_half, dft_op=model.dft_op)
+        model.crop_half, dft_op=model.dft_op, use_pallas=model.use_pallas)
     if noise is not None:
         y = y + noise
     return y
@@ -197,4 +198,5 @@ def build(
         dft_op=dft_op,
         scale=scale,
         crop_half=cfg.crop_half,
+        use_pallas=(jax.default_backend() == "tpu"),
     ))

@@ -96,6 +96,7 @@ def diversity_measurements(
     scale: float,
     crop_half: int,
     dft_op: jnp.ndarray | None = None,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Full measurement path: residual phase(s) -> stacked PSF vector(s).
 
@@ -109,7 +110,17 @@ def diversity_measurements(
     """
     total = phase_res[..., None, :, :] + diversity_phases
     if dft_op is not None:
-        crops = cropped_psf_intensity_dft(total, pupil, dft_op, scale)
+        if use_pallas:
+            from . import pallas_kernels
+            lead = total.shape[:-2]
+            R = total.shape[-1]
+            flat = total.reshape((-1, R, R))
+            crops = pallas_kernels.psf_crop_intensity(
+                flat, pupil, dft_op, scale)
+            w = crops.shape[-1]
+            crops = crops.reshape(*lead, w, w)
+        else:
+            crops = cropped_psf_intensity_dft(total, pupil, dft_op, scale)
     else:
         im = psf_intensity(total, pupil, scale)
         crops = crop_center(im, crop_half)

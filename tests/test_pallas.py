@@ -1,0 +1,22 @@
+"""Pallas fused PSF kernel vs the jnp reference path (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mpc_sensorlessao_tpu.ops import dft, pallas_kernels, psf
+
+
+def test_fused_psf_kernel_matches_jnp_path():
+    rng = np.random.default_rng(0)
+    R, half, B = 64, 7, 5
+    pupil = psf.pupil_mask(R)
+    A = dft.centered_partial_dft(R, half)
+    phase = jnp.asarray(rng.normal(size=(B, R, R)) * 0.4, jnp.float32)
+    scale = 1e-3
+
+    ref = psf.cropped_psf_intensity_dft(phase, pupil, A, scale)
+    out = pallas_kernels.psf_crop_intensity(phase, pupil, A, scale,
+                                            interpret=True)
+    assert out.shape == (B, 2 * half + 1, 2 * half + 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=1e-5)
