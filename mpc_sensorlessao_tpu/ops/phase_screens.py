@@ -197,6 +197,8 @@ def make_layers(
     key,
     atm: AtmosphereConfig,
     tel: TelescopeConfig,
+    cover_steps: int | None = None,
+    max_screen: int = 4096,
     dtype=jnp.float32,
 ) -> FrozenFlowLayers:
     """Build all layer screens + per-step pixel shifts.
@@ -204,6 +206,12 @@ def make_layers(
     Wind shift per step: v * dt / pitch pixels along (cos, sin) of the wind
     direction (telescopeAbstract.m:322-372 leap bookkeeping becomes a
     plain float displacement).
+
+    ``cover_steps``: size the screens so a rollout of that many steps never
+    revisits screen area (the role of the reference's conditional-Gaussian
+    edge extension, telescopeAbstract.m:335-342, without its finite
+    conditioning window).  None -> the default periodic oversampled screen
+    (wrap after ~os*R/|d| steps).  Capped at ``max_screen`` px per side.
     """
     R = tel.resolution
     pitch = tel.pixel_pitch
@@ -212,20 +220,30 @@ def make_layers(
     else:
         data = np.asarray(jax.random.key_data(key)).astype(np.uint64).ravel()
         seeds = [int(data[-1]) * 1000003 + i for i in range(atm.n_layers)]
-    screens = []
     steps = []
+    for i in range(atm.n_layers):
+        v = atm.wind_speeds[i]
+        th = atm.wind_directions[i]
+        dpx = v * tel.sampling_time / pitch
+        steps.append((dpx * math.sin(th), dpx * math.cos(th)))  # (row, col)
+
+    oversample = atm.oversample
+    if cover_steps is not None:
+        max_d = max(max(abs(sy), abs(sx)) for sy, sx in steps)
+        need = R + 2 + int(math.ceil(cover_steps * max_d))
+        need = min(need, max_screen)
+        oversample = max(oversample, int(math.ceil(need / R)))
+
+    screens = []
     for i in range(atm.n_layers):
         slab = atm.layer(i)
         scr = np.asarray(synthesize_screen(seeds[i], slab, R, pitch,
+                                           oversample=oversample,
                                            dtype=dtype))
         # wrap-pad by the window size so per-step sampling is a plain
         # dynamic_slice (no runtime modular gather -- slow on TPU)
         scr = np.pad(scr, ((0, R + 1), (0, R + 1)), mode="wrap")
         screens.append(scr)
-        v = atm.wind_speeds[i]
-        th = atm.wind_directions[i]
-        dpx = v * tel.sampling_time / pitch
-        steps.append((dpx * math.sin(th), dpx * math.cos(th)))  # (row, col)
     return FrozenFlowLayers(
         screens=jnp.asarray(np.stack(screens), dtype=dtype),
         step_px=jnp.asarray(np.asarray(steps), dtype=dtype),
