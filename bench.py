@@ -30,7 +30,7 @@ except Exception:
 
 
 def main():
-    res = int(os.environ.get("BENCH_RES", "512"))
+    res = int(os.environ.get("BENCH_RES", "128"))
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     solver = os.environ.get("BENCH_SOLVER", "fastmpc")

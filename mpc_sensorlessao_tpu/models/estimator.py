@@ -153,11 +153,24 @@ def build(
 
     dft_op = dft.centered_partial_dft(R, cfg.crop_half)
 
-    def forward(alpha):
-        phase = jnp.einsum("k,kij->ij", alpha, mode_stack)
-        return psf.diversity_measurements(
-            phase, diversity_phases, pupil, scale, cfg.crop_half,
-            dft_op=dft_op)
+    def linearize(mode_stack, diversity_phases, pupil, dft_op):
+        """Analytic linearization of y = |DFT(pupil e^{i(zd Z4 + phi)})|^2
+        around phi=0:  b_s = |F0|^2 s,  A_s[:,k] = 2 Re(F0* G_k) s with
+        G_k = DFT(i pupil e^{i zd Z4} Z_k).  Pure batched matmuls -- no
+        autodiff program (whose XLA compile dominates at R=512)."""
+        field0 = pupil * jnp.exp(1j * diversity_phases)       # (3, R, R)
+        F0 = dft.partial_centered_fft2(field0, dft_op)        # (3, w, w)
+        b = psf.measurement_vector(
+            (F0.real ** 2 + F0.imag ** 2) * scale)
+
+        def col(mode):                                         # (R, R) -> (p,)
+            G = dft.partial_centered_fft2(
+                field0 * (1j * mode)[None], dft_op)            # (3, w, w)
+            dy = 2.0 * (F0.real * G.real + F0.imag * G.imag) * scale
+            return psf.measurement_vector(dy)
+
+        A = jax.lax.map(col, mode_stack)                       # (nx, p)
+        return b, A.T
 
     # setup-time linearization on the host CPU backend (tunnelled-TPU
     # remote compiles are erratically slow; see utils.hostcompute)
@@ -167,9 +180,8 @@ def build(
     pupil = jax.device_put(pupil, cpu)
     dft_op = jax.device_put(dft_op, cpu)
     with hostcompute.on_cpu():
-        zero = jax.device_put(jnp.zeros((nx,), dtype=jnp.float32), cpu)
-        b_s = jax.jit(forward)(zero)
-        A_s = jax.jit(jax.jacfwd(forward))(zero)           # (p, nx)
+        b_s, A_s = jax.jit(linearize)(mode_stack, diversity_phases,
+                                      pupil, dft_op)
 
     # Precompute (A'A + lam I)^-1 A' in float64 on host for conditioning.
     A64 = np.asarray(A_s, dtype=np.float64)
