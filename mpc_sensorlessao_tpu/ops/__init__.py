@@ -1,1 +1,2 @@
-from . import phase_stats, zernike
+from . import (dft, newton_kkt, pallas_kernels, phase_screens, phase_stats,
+               psf, zernike)

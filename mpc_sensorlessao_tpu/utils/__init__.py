@@ -1,1 +1,2 @@
-from . import config, special
+from . import (checkpoint, config, guards, hostcompute, logbook, metrics,
+               photometry, profiling, special)
