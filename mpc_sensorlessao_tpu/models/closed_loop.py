@@ -233,13 +233,12 @@ def turbulence_rollout(
     Returns (n_steps, n_modes) coefficients (piston column included).
     """
 
-    def step(_, idx):
+    def one(idx):
         raw = phase_screens.phase_at(layers, start_step + idx, resolution)
         msk = mask.astype(raw.dtype)
         mean = jnp.sum(raw * msk) / mask_npix
         ph = (raw - mean) * msk * mag
-        coeffs = fit_full @ ph.reshape(-1)
-        return None, coeffs
+        return fit_full @ ph.reshape(-1)
 
-    _, series = jax.lax.scan(step, None, jnp.arange(n_steps))
-    return series
+    # steps are independent open-loop replays: chunk-vectorized map
+    return jax.lax.map(one, jnp.arange(n_steps), batch_size=32)
