@@ -25,6 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import edge_flow as edge_flow_mod
 from ..ops import newton_kkt, phase_screens, zernike
 from ..utils import hostcompute
 from ..utils.config import SystemConfig
@@ -99,6 +100,8 @@ def simulate(
     solver: str | None = None,
     mag=None,
     noise_scale=1.0,
+    edge_model: edge_flow_mod.EdgeFlowModel | None = None,
+    edge_state: edge_flow_mod.EdgeFlowState | None = None,
 ) -> StepOutputs:
     """Run the closed loop for n_steps starting at absolute turbulence step
     ``start_step`` (the reference starts at the test split,
@@ -108,6 +111,10 @@ def simulate(
     ``start_step``, ``mag`` (turbulence magnification, default from
     cfg.sim) and ``noise_scale`` are traced, so scenario sweeps over
     turbulence window / D-over-r0 / SNR batch without recompiling.
+
+    ``edge_model``/``edge_state`` switch turbulence to the stateful
+    conditional-Gaussian frozen flow (reference-parity screen extension,
+    ops/edge_flow.py); the default is the periodic sampled flow.
     """
     solver = solver or cfg.mpc.solver
     R = cfg.resolution
@@ -123,11 +130,17 @@ def simulate(
     dU_base_min = jnp.full((N * nu_dim,), -du, dtype=jnp.float32)
     dU_base_max = jnp.full((N * nu_dim,), du, dtype=jnp.float32)
 
+    turb_key = jax.random.fold_in(key, 0x7e5)
+
     def step(carry, idx):
-        u1, u2, x_pre, phase_cor = carry
+        u1, u2, x_pre, phase_cor, eflow = carry
 
         # -- turbulence + correction (README.md:447-453) --
-        raw = phase_screens.phase_at(layers, start_step + idx, R)
+        if edge_model is not None:
+            eflow, raw = edge_flow_mod.advance(
+                edge_model, eflow, start_step + idx, turb_key)
+        else:
+            raw = phase_screens.phase_at(layers, start_step + idx, R)
         phase_turb = zernike.piston_removed_phase_masked(
             raw, models.mask, models.mask_npix) * mag
         phase_res = phase_turb + phase_cor
@@ -203,13 +216,14 @@ def simulate(
             cost=cost, rms_res=rms_res, rms_turb=rms_turb,
             strehl=jnp.exp(-rms_res ** 2),
         )
-        return (u, u1, x0, phase_cor_new), out
+        return (u, u1, x0, phase_cor_new, eflow), out
 
     init = (
         jnp.zeros((nu_dim,), dtype=jnp.float32),
         jnp.zeros((nu_dim,), dtype=jnp.float32),
         jnp.zeros((nx,), dtype=jnp.float32),
         jnp.zeros((R, R), dtype=jnp.float32),
+        edge_state,
     )
     _, outputs = jax.lax.scan(step, init, jnp.arange(n_steps))
     return outputs

@@ -14,7 +14,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops import phase_screens, zernike
+from ..ops import edge_flow, phase_screens, zernike
 from ..utils import hostcompute
 from ..utils.config import SystemConfig
 from . import closed_loop, dm, estimator, mpc, solvers, var
@@ -31,6 +31,9 @@ class System(NamedTuple):
     mats: mpc.MPCMatrices
     loop: closed_loop.LoopModels
     coeff_series: jnp.ndarray     # (n_total, n_modes) open-loop Zernike ts
+    # conditional-Gaussian flow (atmosphere.flow == "conditional") only:
+    edge_model: edge_flow.EdgeFlowModel | None = None
+    edge_state: edge_flow.EdgeFlowState | None = None  # at the test split
 
 
 def build(cfg: SystemConfig, key) -> System:
@@ -57,19 +60,39 @@ def build(cfg: SystemConfig, key) -> System:
     # rollout + VAR fit on the host CPU backend: one-off setup work;
     # remote-TPU compiles are erratically slow (utils.hostcompute)
     cpu = hostcompute.cpu_device()
+    if cfg.atmosphere.flow not in ("periodic", "conditional"):
+        raise ValueError(
+            f"unknown atmosphere.flow '{cfg.atmosphere.flow}' "
+            "(expected 'periodic' or 'conditional')")
+    edge_model = edge_state = None
     with hostcompute.on_cpu():
-        coeffs = closed_loop.turbulence_rollout(
-            jax.device_put(layers, cpu),
-            jax.device_put(basis.fit_full, cpu),
-            jax.device_put(basis.mask, cpu),
-            jax.device_put(mask_npix, cpu),
-            n_steps=n_id, resolution=R, start_step=0,
-            mag=cfg.sim.magnification)
+        if cfg.atmosphere.flow == "conditional":
+            edge_model, state0 = edge_flow.build(
+                int(cfg.sim.seed), cfg.atmosphere, tel)
+            edge_model = jax.device_put(edge_model, cpu)
+            edge_state, coeffs = edge_flow.rollout(
+                edge_model, jax.device_put(state0, cpu),
+                jax.random.PRNGKey(int(cfg.sim.seed)),
+                n_id, jax.device_put(basis.fit_full, cpu),
+                jax.device_put(basis.mask, cpu),
+                jax.device_put(mask_npix, cpu),
+                mag=cfg.sim.magnification)
+        else:
+            coeffs = closed_loop.turbulence_rollout(
+                jax.device_put(layers, cpu),
+                jax.device_put(basis.fit_full, cpu),
+                jax.device_put(basis.mask, cpu),
+                jax.device_put(mask_npix, cpu),
+                n_steps=n_id, resolution=R, start_step=0,
+                mag=cfg.sim.magnification)
 
         # VAR fit on the training window, piston removed (README.md:110-130)
         states = coeffs[:, 1:]
         vmodel = var.fit(states[:cfg.sim.n_train], cfg.mpc.var_order)
     coeffs = hostcompute.to_default(coeffs)
+    if edge_model is not None:
+        edge_model = hostcompute.to_default(edge_model)
+        edge_state = hostcompute.to_default(edge_state)
     vmodel = hostcompute.to_default(vmodel)
     A1 = vmodel.coefficient(1)
     A2 = (vmodel.coefficient(2) if cfg.mpc.var_order >= 2
@@ -100,7 +123,8 @@ def build(cfg: SystemConfig, key) -> System:
                                         horizon=cfg.mpc.horizon)
     return System(basis=basis, layers=layers, est=est, dm_model=dm_model,
                   var_model=vmodel, mats=mats, loop=loop,
-                  coeff_series=coeffs)
+                  coeff_series=coeffs, edge_model=edge_model,
+                  edge_state=edge_state)
 
 
 def run_closed_loop(system: System, cfg: SystemConfig, key,
@@ -110,4 +134,6 @@ def run_closed_loop(system: System, cfg: SystemConfig, key,
     n = n_steps if n_steps is not None else cfg.sim.n_test
     start = cfg.sim.n_train + cfg.sim.n_valid
     return closed_loop.simulate(system.loop, system.layers, cfg, key,
-                                n_steps=n, start_step=start, solver=solver)
+                                n_steps=n, start_step=start, solver=solver,
+                                edge_model=system.edge_model,
+                                edge_state=system.edge_state)

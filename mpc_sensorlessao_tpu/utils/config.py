@@ -55,6 +55,13 @@ class AtmosphereConfig:
     fractional_r0: Tuple[float, ...] = (0.7 / 25, 0.1 / 25, 0.2 / 25)
     oversample: int = 4                # FFT screen oversampling (atmosphere.m:447)
     subharmonic_levels: int = 3        # low-frequency compensation depth
+    # Frozen-flow evolution scheme:
+    # "periodic":    sampled periodic oversampled screens (TPU fast path,
+    #                ops/phase_screens.py);
+    # "conditional": conditional-Gaussian border extension, the
+    #                reference-parity stochastic flow
+    #                (telescopeAbstract.m:823-901; ops/edge_flow.py).
+    flow: str = "periodic"
 
     @property
     def n_layers(self) -> int:

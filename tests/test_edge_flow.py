@@ -1,0 +1,158 @@
+"""Conditional-Gaussian frozen-flow tests (reference parity path,
+telescopeAbstract.m:823-901)."""
+
+import dataclasses
+import math
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mpc_sensorlessao_tpu.ops import edge_flow, phase_stats
+from mpc_sensorlessao_tpu.utils.config import (AtmosphereConfig,
+                                               TelescopeConfig,
+                                               reference_config)
+
+ATM1 = AtmosphereConfig(fractional_r0=(1.0,), altitudes=(0.0,),
+                        wind_speeds=(8.0,), wind_directions=(0.0,),
+                        flow="conditional")
+TEL32 = TelescopeConfig(resolution=32)
+
+
+def test_extension_operators_consistent():
+    """A = Cov(X,Z) Cov(Z,Z)^-1 and Bc Bc' = Cov(X|Z)
+    (telescopeAbstract.m:863-884)."""
+    n, pitch = 16, 1 / 15
+    A, Bc = edge_flow.extension_operators(ATM1, n, pitch)
+    outer_idx, inner_idx = edge_flow._ring_masks(n)
+    assert A.shape == (len(outer_idx), len(inner_idx))
+
+    u = np.arange(n + 2) * pitch
+    cc, rr = np.meshgrid(u, u, indexing="xy")
+    pts_frame = (cc + 1j * rr).ravel()
+    pts_phase = pts_frame.reshape(n + 2, n + 2)[1:-1, 1:-1].ravel()
+    Zp, Xp = pts_phase[inner_idx], pts_frame[outer_idx]
+    ZZt = phase_stats.covariance_matrix(Zp, Zp, ATM1)
+    ZXt = phase_stats.covariance_matrix(Zp, Xp, ATM1)
+    XXt = phase_stats.covariance_matrix(Xp, Xp, ATM1)
+
+    # regression identity A ZZt = XZt
+    np.testing.assert_allclose(A @ ZZt, ZXt.T, rtol=1e-6, atol=1e-8)
+    # factor reproduces the conditional covariance
+    cond = XXt - A @ ZXt
+    np.testing.assert_allclose(Bc @ Bc.T, cond, atol=1e-6)
+    # conditioning shrinks the variance
+    assert np.all(np.diag(cond) < np.diag(XXt))
+    assert np.all(np.diag(cond) >= -1e-9)
+
+
+def test_conditional_sampling_joint_covariance():
+    """X = A Z + B eps with exact Z draws reproduces the joint analytic
+    covariance blocks empirically."""
+    n, pitch = 12, 1 / 11
+    A, Bc = edge_flow.extension_operators(ATM1, n, pitch)
+    outer_idx, inner_idx = edge_flow._ring_masks(n)
+    u = np.arange(n + 2) * pitch
+    cc, rr = np.meshgrid(u, u, indexing="xy")
+    pts_frame = (cc + 1j * rr).ravel()
+    pts_phase = pts_frame.reshape(n + 2, n + 2)[1:-1, 1:-1].ravel()
+    Zp, Xp = pts_phase[inner_idx], pts_frame[outer_idx]
+    ZZt = phase_stats.covariance_matrix(Zp, Zp, ATM1)
+    ZXt = phase_stats.covariance_matrix(Zp, Xp, ATM1)
+
+    rng = np.random.default_rng(0)
+    Lz = np.linalg.cholesky(ZZt + 1e-10 * np.eye(len(Zp)))
+    ns = 3000
+    Z = (Lz @ rng.standard_normal((len(Zp), ns)))
+    X = A @ Z + Bc @ rng.standard_normal((Bc.shape[1], ns))
+    emp_XZ = X @ Z.T / ns
+    scale = np.abs(ZXt).max()
+    assert np.abs(emp_XZ - ZXt.T).max() / scale < 0.15
+
+
+def _evolve(seed, n_steps, tel=TEL32, atm=ATM1):
+    model, state = edge_flow.build(seed, atm, tel)
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def run(state):
+        def step(st, idx):
+            st, ph = edge_flow.advance(model, st, idx, key)
+            return st, ph
+        return jax.lax.scan(step, state, jnp.arange(n_steps))
+
+    final, phases = run(state)
+    return model, np.asarray(phases)
+
+
+def test_screen_translates_with_wind():
+    """Frozen flow: the screen content moves along the wind; overlapping
+    regions of consecutive steps stay strongly correlated."""
+    model, phases = _evolve(3, 12)
+    (sy, sx) = model.step_px[0]
+    assert sy == 0.0 and sx > 1.0        # fast-wind regime, +col direction
+    d = int(round(sx))
+    a, b = phases[5], phases[6]
+    # content moved by ~d px toward +x: b[:, d:] ~ a[:, :-d]
+    ov_new = b[:, d:]
+    ov_old = a[:, :-d]
+    cc = np.corrcoef(ov_new.ravel(), ov_old.ravel())[0, 1]
+    assert cc > 0.98, cc
+
+
+def test_evolved_screen_statistics():
+    """After many steps (screen fully regenerated through the border),
+    spatial structure function still follows Von Karman analytics."""
+    n = TEL32.resolution
+    stack = []
+    for seed in range(6):
+        _, phases = _evolve(seed, 40)
+        stack.append(phases[-8:])        # fully refreshed screens
+    scr = np.concatenate(stack)          # (48, n, n)
+    pitch = TEL32.pixel_pitch
+    for sep in (3, 8):
+        d_emp = np.mean((scr[:, :, sep:] - scr[:, :, :-sep]) ** 2)
+        d_th = phase_stats.structure_function(sep * pitch, ATM1, np)
+        assert abs(d_emp - d_th) / d_th < 0.45, (sep, d_emp, d_th)
+
+
+def test_slow_wind_regime_runs():
+    """Sub-pixel winds: stored screen shifts only when the cumulative
+    offset crosses a pixel; output drifts smoothly in between."""
+    atm = dataclasses.replace(ATM1, wind_speeds=(1.0,))   # 0.155 px/step
+    tel = TEL32
+    model, state = edge_flow.build(0, atm, tel)
+    assert model.nsub[0] == (0, 1)
+    key = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(state):
+        def step(st, idx):
+            st, ph = edge_flow.advance(model, st, idx, key)
+            return st, ph
+        return jax.lax.scan(step, state, jnp.arange(14))
+
+    _, phases = run(state)
+    phases = np.asarray(phases)
+    assert np.isfinite(phases).all()
+    # successive screens nearly identical (sub-pixel drift), not equal
+    diff = np.abs(phases[1:] - phases[:-1]).mean()
+    assert 0 < diff < 0.5 * np.abs(phases).std()
+
+
+def test_closed_loop_with_conditional_flow():
+    """End-to-end: pipeline build + closed loop with flow="conditional"."""
+    from mpc_sensorlessao_tpu.models import pipeline
+    cfg = reference_config(resolution=48)
+    cfg = cfg.replace(
+        atmosphere=dataclasses.replace(cfg.atmosphere, flow="conditional"),
+        sim=dataclasses.replace(cfg.sim, n_train=160, n_valid=20, n_test=40))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    assert system.edge_model is not None
+    out = pipeline.run_closed_loop(system, cfg, jax.random.PRNGKey(1))
+    rms_res = np.asarray(out.rms_res)
+    rms_turb = np.asarray(out.rms_turb)
+    assert np.isfinite(rms_res).all()
+    # controller rejects most turbulence on the fresh (never-replayed) flow
+    assert rms_res[-15:].mean() < 0.5 * rms_turb[-15:].mean()
