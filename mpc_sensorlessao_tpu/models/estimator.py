@@ -130,11 +130,17 @@ def build(
     basis: zernike.ZernikeBasis,
     include_piston: bool = False,
     dtype=jnp.float32,
+    prior_cov: np.ndarray | None = None,
 ) -> EstimatorModel:
     """Build the estimator model by linearizing the exact PSF map.
 
     ``include_piston=False`` drops the piston column, matching the
     reference's `A_s(:,1) = []` (README.md:290,331).
+
+    ``prior_cov`` ((nx, nx), rad^2) is required when cfg.method == "mmse":
+    the solve operator becomes the Bayesian linear MMSE gain
+    C A' (A C A' + sigma^2 I)^-1 instead of the reference's unweighted
+    normal equations (see EstimatorConfig.method).
     """
     R = cfg.resolution
     assert basis.resolution == R, "basis and estimator grids must match"
@@ -183,14 +189,8 @@ def build(
         b_s, A_s = jax.jit(linearize)(mode_stack, diversity_phases,
                                       pupil, dft_op)
 
-    # Precompute (A'A + lam I)^-1 A' in float64 on host for conditioning.
-    A64 = np.asarray(A_s, dtype=np.float64)
-    gram = A64.T @ A64
-    if cfg.tikhonov > 0.0:
-        gram = gram + cfg.tikhonov * np.eye(gram.shape[0])
-    solve_op = np.linalg.solve(gram, A64.T)                # (nx, p)
-
     # Noise scale (regenerates the missing SNR_10.mat; see EstimatorConfig)
+    A64 = np.asarray(A_s, dtype=np.float64)
     b64 = np.asarray(b_s, dtype=np.float64)
     if cfg.snr_reference == "mean_abs":
         noise_std = float(np.mean(np.abs(b64)) * 10.0 ** (-cfg.snr_db / 20.0))
@@ -199,6 +199,32 @@ def build(
                                   * 10.0 ** (-cfg.snr_db / 10.0)))
     else:
         raise ValueError(f"unknown snr_reference '{cfg.snr_reference}'")
+
+    # Solve operator (host float64 for conditioning)
+    if cfg.method == "ls":
+        # (A'A + lam I)^-1 A'  (README.md:478)
+        gram = A64.T @ A64
+        if cfg.tikhonov > 0.0:
+            gram = gram + cfg.tikhonov * np.eye(gram.shape[0])
+        solve_op = np.linalg.solve(gram, A64.T)            # (nx, p)
+    elif cfg.method == "mmse":
+        if prior_cov is None:
+            raise ValueError("estimator method 'mmse' needs prior_cov "
+                             "(see pipeline.build)")
+        C = np.asarray(prior_cov, dtype=np.float64)
+        if C.shape != (A64.shape[1],) * 2:
+            raise ValueError(f"prior_cov shape {C.shape} != "
+                             f"({A64.shape[1]}, {A64.shape[1]})")
+        CA = C @ A64.T                                     # (nx, p)
+        G = A64 @ CA
+        # sigma floor keeps G invertible even at (near-)noiseless SNR:
+        # A C A' has rank <= nx << p
+        sig2 = max(noise_std ** 2,
+                   1e-9 * float(np.trace(G)) / G.shape[0])
+        G = G + sig2 * np.eye(A64.shape[0])
+        solve_op = np.linalg.solve(G, CA.T).T              # (nx, p)
+    else:
+        raise ValueError(f"unknown estimator method '{cfg.method}'")
 
     return hostcompute.to_default(EstimatorModel(
         A_s=A_s.astype(dtype),

@@ -47,7 +47,18 @@ def build(cfg: SystemConfig, key) -> System:
     # turbulence screens are seeded from the config (host-side setup)
     layers = phase_screens.make_layers(int(cfg.sim.seed), cfg.atmosphere,
                                        tel)
-    est = estimator.build(cfg.estimator, basis)
+    prior_cov = None
+    if cfg.estimator.method == "mmse":
+        # analytic Von Karman Zernike-coefficient covariance as the
+        # residual-aberration prior (piston excluded; magnification scales
+        # coefficients linearly -> covariance by mag^2)
+        from ..ops import zernike_stats
+        C = zernike_stats.coefficient_covariance(
+            cfg.atmosphere, cfg.telescope.diameter,
+            cfg.zernike.radial_order, resolution=min(48, R))
+        prior_cov = (C[1:, 1:] * cfg.sim.magnification ** 2
+                     * cfg.estimator.prior_scale ** 2)
+    est = estimator.build(cfg.estimator, basis, prior_cov=prior_cov)
     dm_model = dm.build(cfg.dm, basis)
 
     # Open-loop pre-pass over train+valid (the closed loop runs on the test
@@ -87,8 +98,14 @@ def build(cfg: SystemConfig, key) -> System:
                 mag=cfg.sim.magnification)
 
         # VAR fit on the training window, piston removed (README.md:110-130)
+        if cfg.mpc.var_ridge < 0.0:
+            raise ValueError(f"var_ridge must be >= 0, got "
+                             f"{cfg.mpc.var_ridge}")
         states = coeffs[:, 1:]
-        vmodel = var.fit(states[:cfg.sim.n_train], cfg.mpc.var_order)
+        vmodel = var.fit(states[:cfg.sim.n_train], cfg.mpc.var_order,
+                         ridge=cfg.mpc.var_ridge)
+        if cfg.mpc.var_max_radius is not None:
+            vmodel = var.stabilize(vmodel, cfg.mpc.var_max_radius)
     coeffs = hostcompute.to_default(coeffs)
     if edge_model is not None:
         edge_model = hostcompute.to_default(edge_model)

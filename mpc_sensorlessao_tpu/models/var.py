@@ -51,14 +51,57 @@ def lag_matrix(series: jnp.ndarray, order: int) -> Tuple[jnp.ndarray, jnp.ndarra
 
 
 @partial(jax.jit, static_argnames=("order",))
-def fit(series: jnp.ndarray, order: int) -> VARModel:
-    """Least-squares VAR fit over the given window (README.md:127-130)."""
+def fit(series: jnp.ndarray, order: int, ridge: float = 0.0) -> VARModel:
+    """Least-squares VAR fit over the given window (README.md:127-130).
+
+    ``ridge`` adds scale-invariant Tikhonov damping
+    lambda = ridge * mean(diag(AA'AA)) to the normal equations.  The
+    reference's plain LS (README.md:127) is fine for 28 modes x 1000
+    samples but overfits badly for high-order mode sets (130 regressors
+    per row at order 10 / VAR(2)), producing unstable models whose
+    prediction matrices amplify estimation noise; ridge=0 reproduces the
+    reference exactly.
+    """
     AA, BB = lag_matrix(series, order)
     gram = AA.T @ AA
+    lam = ridge * jnp.mean(jnp.diag(gram))
+    gram = gram + lam * jnp.eye(gram.shape[0], dtype=gram.dtype)
     para = jnp.linalg.solve(gram, AA.T @ BB)     # (p*nx, nx)
     nx = series.shape[1]
     A = jnp.stack([para[(j - 1) * nx:j * nx].T for j in range(1, order + 1)])
     return VARModel(A=A, order=order)
+
+
+def companion_spectral_radius(model: VARModel) -> float:
+    """Spectral radius of the VAR companion matrix (host-side)."""
+    import numpy as np
+    p, nx = model.order, model.nx
+    comp = np.zeros((p * nx, p * nx))
+    A = np.asarray(model.A, dtype=np.float64)
+    for j in range(p):
+        comp[:nx, j * nx:(j + 1) * nx] = A[j]
+    if p > 1:
+        comp[nx:, :-nx] = np.eye((p - 1) * nx)
+    return float(np.abs(np.linalg.eigvals(comp)).max())
+
+
+def stabilize(model: VARModel, max_radius: float = 0.999) -> VARModel:
+    """Shrink the model to spectral radius <= max_radius (host-side).
+
+    Scaling lag-j coefficients by gamma^j scales every companion
+    eigenvalue by exactly gamma, so the damped model keeps the fitted
+    mode shapes while guaranteeing stable predictions (the LS fit can
+    come out explosive on short windows; an unstable predictor inside
+    the MPC free response is a positive-feedback path for estimator
+    noise).
+    """
+    rho = companion_spectral_radius(model)
+    if rho <= max_radius:
+        return model
+    gamma = max_radius / rho
+    scales = jnp.asarray([gamma ** j for j in range(1, model.order + 1)],
+                         dtype=model.A.dtype)
+    return VARModel(A=model.A * scales[:, None, None], order=model.order)
 
 
 def predict_one_step(model: VARModel, history: jnp.ndarray) -> jnp.ndarray:

@@ -151,6 +151,21 @@ class EstimatorConfig:
     #                 awgn-style; peak-dominated, ~15x stronger)
     snr_reference: str = "mean_abs"
     tikhonov: float = 0.0              # optional LS regularization
+    # Estimation method:
+    # "ls":   plain normal-equation least squares (the reference,
+    #         README.md:478);
+    # "mmse": Bayesian linear MMSE  x = C A'(A C A' + sigma^2 I)^-1 (y-b)
+    #         with C the *analytic* Von Karman Zernike-coefficient
+    #         covariance (ops/zernike_stats.py) scaled by prior_scale^2.
+    #         Shrinks weakly-sensed (high-order) modes toward zero instead
+    #         of amplifying measurement noise -- the equivalent capability
+    #         of the reference's bundled linearMMSE reconstructor
+    #         (OOMAO-master/linearMMSE.m), applied to phase diversity.
+    method: str = "ls"
+    # Prior std scale for "mmse": 1.0 = open-loop turbulence statistics
+    # (conservative in closed loop, where the residual is far smaller;
+    # smaller values shrink harder).
+    prior_scale: float = 1.0
     # Fixed-Jacobian Gauss-Newton refinement iterations: 0 reproduces the
     # reference's single linearization (README.md:478); >=1 iterates
     # x <- x + S(y - f(x)) with the exact PSF model, widening the capture
@@ -181,6 +196,15 @@ class MPCConfig:
 
     horizon: int = 2                   # N
     var_order: int = 2                 # VAR(p), p in {1, 2}
+    # Identification regularization (0 = the reference's plain LS,
+    # README.md:127): scale-invariant ridge on the lagged normal
+    # equations; essential for high-order mode sets (see var.fit).
+    var_ridge: float = 0.0
+    # Hard stability cap on the identified model's companion spectral
+    # radius (None = keep the raw fit, like the reference).  An unstable
+    # fitted predictor inside the MPC free response is a positive-feedback
+    # path for estimator noise (see var.stabilize).
+    var_max_radius: float | None = None
     q_weight: float = 1.5e4            # Q = q*I
     p_weight_scale: float = 1.0        # P(terminal) = scale*Q
     r_weight: float = 1.0              # R = r*I

@@ -40,29 +40,46 @@ def test_var1_pipeline_with_ramp_solver():
 
 
 def test_mode_sweep_66_modes():
-    """Config 3: radial order 10 -> 66 modes (horizon sweep is covered by
-    test_horizon_8_long; the reference's Q/R weights are untuned for
-    66 modes at long horizons and oscillate there)."""
-    cfg = _cfg(horizon=2)
-    cfg = cfg.replace(zernike=dataclasses.replace(cfg.zernike,
-                                                  radial_order=10))
+    """Config 3: radial order 10 -> 66 modes, with the high-order recipe
+    (ridge-regularized VAR + MMSE estimator).
+
+    Plain reference-style LS identification is unstable here (130
+    regressors per row on the training window -> companion spectral
+    radius > 1), and the unweighted LS estimator has ~100% error on
+    orders 7-10; together they turn the loop into a noise amplifier.
+    var_ridge + estimator method="mmse" fix both, and the 66-mode loop
+    then *beats* the 28-mode one (orders 7-10 corrected too)."""
+    cfg = _cfg(horizon=2, var_ridge=1e-2)
+    cfg = cfg.replace(
+        zernike=dataclasses.replace(cfg.zernike, radial_order=10),
+        estimator=dataclasses.replace(cfg.estimator, method="mmse"))
     assert cfg.zernike.n_modes == 66
     system = pipeline.build(cfg, jax.random.PRNGKey(0))
     assert system.loop.prob.A1.shape == (65, 65)
     assert system.mats.M1.shape == (2 * 65, 65)
-    out = pipeline.run_closed_loop(system, cfg, jax.random.PRNGKey(1),
-                                   n_steps=25)
-    # The pipeline must RUN at 66 modes with finite, bounded outputs.
-    # Closed-loop optical quality at 66 modes is out of the reference's
-    # demonstrated envelope: a 12x12 Gaussian-IF DM cannot span radial
-    # order 10, and the 2883-pixel diversity measurement senses orders
-    # 7-10 too weakly for the zero-point linearization (single-shot
-    # estimate error is ~70% at 1.2 rad even noise-free) -- BASELINE's
-    # mode sweep is a solver-scale target, not a Strehl target.
+    out = pipeline.run_closed_loop(system, cfg, jax.random.PRNGKey(1))
     rms_res = np.asarray(out.rms_res)
+    rms_turb = np.asarray(out.rms_turb)
     assert np.isfinite(rms_res).all()
-    assert np.abs(np.asarray(out.u)).max() <= cfg.mpc.u_max + 1e-4
-    assert rms_res.max() < 20.0
+    # meaningful optical quality, not just bounded outputs
+    assert rms_res[-15:].mean() < 0.35 * rms_turb[-15:].mean()
+    assert np.asarray(out.strehl)[-15:].mean() > 0.9
+    # sane control effort (far from the box; the broken loop slams 28)
+    assert np.abs(np.asarray(out.u)).max() < 10.0
+
+
+def test_66_modes_unregularized_is_noise_amplifier():
+    """Regression guard for the diagnosis: the reference-parity plain-LS
+    identification at 66 modes yields an unstable companion matrix."""
+    from mpc_sensorlessao_tpu.models import var
+    cfg = _cfg(horizon=2)
+    cfg = cfg.replace(zernike=dataclasses.replace(cfg.zernike,
+                                                  radial_order=10))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    rho = var.companion_spectral_radius(system.var_model)
+    assert rho > 1.0, rho
+    stabilized = var.stabilize(system.var_model, 0.98)
+    assert var.companion_spectral_radius(stabilized) <= 0.9801
 
 
 def test_horizon_8_long():

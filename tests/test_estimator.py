@@ -91,3 +91,38 @@ def test_noise_snr_definitions(model128):
     model_vp = estimator.build(cfg_vp, basis)
     sig = float(jnp.mean(model_vp.b_s ** 2))
     assert abs(float(model_vp.noise_std) ** 2 / (sig / 10.0) - 1.0) < 1e-3
+
+
+def test_mmse_estimator_shrinks_weakly_sensed_modes(model128):
+    """method="mmse": the Bayesian gain reduces noise amplification on
+    weakly-sensed modes while matching LS on well-sensed ones."""
+    basis, ls = model128
+    # analytic prior
+    from mpc_sensorlessao_tpu.ops import zernike_stats
+    from mpc_sensorlessao_tpu.utils.config import AtmosphereConfig
+    atm = AtmosphereConfig()
+    C = zernike_stats.coefficient_covariance(atm, 1.0, 6, resolution=48)
+    mcfg = EstimatorConfig(resolution=128, method="mmse")
+    mmse = estimator.build(mcfg, basis, prior_cov=C[1:, 1:])
+
+    # noise-gain rows: ||row||^2 * sigma^2 = per-mode output noise var
+    g_ls = np.linalg.norm(np.asarray(ls.solve_op), axis=1)
+    g_mm = np.linalg.norm(np.asarray(mmse.solve_op), axis=1)
+    assert (g_mm <= g_ls * 1.001).all()
+    # and a real small-aberration estimate stays accurate
+    key = jax.random.PRNGKey(0)
+    x_true = 0.1 * jax.random.normal(key, (27,))
+    phase = jnp.einsum("k,kij->ij", x_true, basis.stack[1:])
+    y = estimator.measure(mmse, phase)
+    x_hat = estimator.estimate(mmse, y)
+    assert float(jnp.linalg.norm(x_hat - x_true)) < 0.25 * float(
+        jnp.linalg.norm(x_true))
+
+
+def test_mmse_requires_prior():
+    basis = zernike.make_basis(2, 32)
+    cfg = EstimatorConfig(resolution=32, method="mmse")
+    with pytest.raises(ValueError):
+        estimator.build(cfg, basis)
+    with pytest.raises(ValueError):
+        estimator.build(EstimatorConfig(resolution=32, method="wat"), basis)

@@ -60,3 +60,35 @@ def test_lag_matrix_layout():
     AA, BB = var.lag_matrix(series, 2)
     np.testing.assert_array_equal(np.asarray(AA[0]), [2, 3, 0, 1])
     np.testing.assert_array_equal(np.asarray(BB[0]), [4, 5])
+
+
+def test_ridge_shrinks_and_zero_matches_ls():
+    rng = np.random.default_rng(1)
+    # short window, many modes: plain LS overfits
+    nx, T = 12, 40
+    series = jnp.asarray(np.cumsum(rng.normal(size=(T, nx)), axis=0),
+                         jnp.float32)
+    m0 = var.fit(series, 2)
+    m0b = var.fit(series, 2, ridge=0.0)
+    np.testing.assert_array_equal(np.asarray(m0.A), np.asarray(m0b.A))
+    mr = var.fit(series, 2, ridge=1e-1)
+    assert (np.linalg.norm(np.asarray(mr.A))
+            < np.linalg.norm(np.asarray(m0.A)))
+
+
+def test_stabilize_caps_spectral_radius():
+    rng = np.random.default_rng(2)
+    A1 = jnp.asarray(1.4 * np.eye(4) + 0.1 * rng.normal(size=(4, 4)),
+                     jnp.float32)
+    A2 = jnp.asarray(-0.5 * np.eye(4), jnp.float32)
+    m = var.VARModel(A=jnp.stack([A1, A2]), order=2)
+    rho = var.companion_spectral_radius(m)
+    assert rho > 1.0
+    ms = var.stabilize(m, 0.95)
+    rho_s = var.companion_spectral_radius(ms)
+    assert rho_s <= 0.95 + 1e-5
+    # gamma^j scaling: exact eigenvalue shrink, A1 direction preserved
+    np.testing.assert_allclose(
+        np.asarray(ms.A[0]) / np.asarray(m.A[0]), 0.95 / rho, rtol=1e-5)
+    # already-stable models untouched
+    assert var.stabilize(ms, 0.99) is ms
