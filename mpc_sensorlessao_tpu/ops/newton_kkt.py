@@ -43,6 +43,15 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from . import block_tridiag
+
+# Horizon at which the Schur solve switches from one dense Cholesky to
+# block cyclic reduction (O(log T) depth, O(T n^3) work -- see
+# ops/block_tridiag.py).  Dense wins for short horizons (fewer, larger
+# MXU calls); CR wins asymptotically (the dense factorization is
+# O(T^3 n^3)).
+CR_MIN_HORIZON = 16
+
 
 class FastMPCProblem(NamedTuple):
     """Static problem data (per scenario; vmap-compatible).
@@ -258,21 +267,27 @@ def newton_direction(prob: FastMPCProblem, b, state: SolverState,
                    + jnp.einsum("nk,tk,mk->tnm", A2, px2, A1))  # S[i, i-1]
     sub2_blocks = -A2 * px2[:, None, :]                         # S[i, i-2]
 
-    S = jnp.zeros((T, n, T, n), dtype=U.dtype)
-    for i in range(T):
-        S = S.at[i, :, i, :].set(diag_blocks[i])
-        if i >= 1:
-            S = S.at[i, :, i - 1, :].set(sub1_blocks[i])
-            S = S.at[i - 1, :, i, :].set(sub1_blocks[i].T)
-        if i >= 2:
-            S = S.at[i, :, i - 2, :].set(sub2_blocks[i])
-            S = S.at[i - 2, :, i, :].set(sub2_blocks[i].T)
-    if ramp:
-        S = S + jnp.moveaxis(M, 1, 2)                           # (T,n,T,n)
-    S = S.reshape(T * n, T * n)
+    if not ramp and T >= CR_MIN_HORIZON:
+        # long horizons: block cyclic reduction on the banded system
+        dnu = -block_tridiag.banded_solve(diag_blocks, sub1_blocks,
+                                          sub2_blocks, beta)
+    else:
+        S = jnp.zeros((T, n, T, n), dtype=U.dtype)
+        for i in range(T):
+            S = S.at[i, :, i, :].set(diag_blocks[i])
+            if i >= 1:
+                S = S.at[i, :, i - 1, :].set(sub1_blocks[i])
+                S = S.at[i - 1, :, i, :].set(sub1_blocks[i].T)
+            if i >= 2:
+                S = S.at[i, :, i - 2, :].set(sub2_blocks[i])
+                S = S.at[i - 2, :, i, :].set(sub2_blocks[i].T)
+        if ramp:
+            S = S + jnp.moveaxis(M, 1, 2)                       # (T,n,T,n)
+        S = S.reshape(T * n, T * n)
 
-    chol = jax.scipy.linalg.cho_factor(S, lower=True)
-    dnu = -jax.scipy.linalg.cho_solve(chol, beta.reshape(-1)).reshape(T, n)
+        chol = jax.scipy.linalg.cho_factor(S, lower=True)
+        dnu = -jax.scipy.linalg.cho_solve(
+            chol, beta.reshape(-1)).reshape(T, n)
 
     # dz = Phi^-1 (-rd - C' dnu)
     dU = u_solve(-rd_u + dnu @ B)
