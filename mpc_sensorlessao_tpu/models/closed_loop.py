@@ -102,6 +102,7 @@ def simulate(
     noise_scale=1.0,
     edge_model: edge_flow_mod.EdgeFlowModel | None = None,
     edge_state: edge_flow_mod.EdgeFlowState | None = None,
+    init_u: jnp.ndarray | None = None,
 ) -> StepOutputs:
     """Run the closed loop for n_steps starting at absolute turbulence step
     ``start_step`` (the reference starts at the test split,
@@ -218,11 +219,21 @@ def simulate(
         )
         return (u, u1, x0, phase_cor_new, eflow), out
 
+    if init_u is not None:
+        # acquisition warm start (MPCConfig.warm_start): pre-load the DM
+        # with the calibration-handover command so step 0 sees only the
+        # prediction error
+        u_init = init_u.astype(jnp.float32)
+        pc_init = jnp.einsum("k,kij->ij", models.influence @ u_init,
+                             models.state_stack)
+    else:
+        u_init = jnp.zeros((nu_dim,), dtype=jnp.float32)
+        pc_init = jnp.zeros((R, R), dtype=jnp.float32)
     init = (
-        jnp.zeros((nu_dim,), dtype=jnp.float32),
+        u_init,
         jnp.zeros((nu_dim,), dtype=jnp.float32),
         jnp.zeros((nx,), dtype=jnp.float32),
-        jnp.zeros((R, R), dtype=jnp.float32),
+        pc_init,
         edge_state,
     )
     _, outputs = jax.lax.scan(step, init, jnp.arange(n_steps))

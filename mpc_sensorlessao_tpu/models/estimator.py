@@ -119,6 +119,62 @@ def estimate_gauss_newton(model: EstimatorModel, y: jnp.ndarray,
     return x
 
 
+def linearize_at(model: EstimatorModel, phase: jnp.ndarray,
+                 mode_stack: jnp.ndarray, mode_chunk: int = 8):
+    """Exact re-linearization of the measurement map at ``phase``.
+
+    Returns (y0, J): y0 = f(phase) and J[:, k] = df/dx_k, both computed
+    with the same analytic form as build()'s zero-point linearization
+    (b_s/A_s are the phase=0 case):  J_k = 2 Re(F* G_k) s with
+    G_k = DFT(i field Z_k), field = pupil e^{i(zd Z4 + phase)}.
+    Complex intermediates stay inside the compiled program (no
+    host<->device complex transfers).  mode_chunk bounds the (k, 3, R, R)
+    working set.
+    """
+    field = model.pupil * jnp.exp(
+        1j * (model.diversity_phases + phase[None]))        # (3, R, R)
+    F = dft.partial_centered_fft2(field, model.dft_op)      # (3, w, w)
+    y0 = psf.measurement_vector(
+        (F.real ** 2 + F.imag ** 2) * model.scale)
+
+    def col(mode):                                          # (R,R) -> (p,)
+        G = dft.partial_centered_fft2(field * (1j * mode)[None],
+                                      model.dft_op)
+        dy = 2.0 * (F.real * G.real + F.imag * G.imag) * model.scale
+        return psf.measurement_vector(dy)
+
+    J = jax.lax.map(col, mode_stack, batch_size=mode_chunk)  # (nx, p)
+    return y0, J.T
+
+
+def estimate_full_gn(model: EstimatorModel, y: jnp.ndarray,
+                     mode_stack: jnp.ndarray, n_iters: int,
+                     damping: float = 1e-3) -> jnp.ndarray:
+    """Full Gauss-Newton with per-iterate re-linearized Jacobian.
+
+    The reference estimator (README.md:478) and estimate_gauss_newton both
+    use the zero-point Jacobian A_s, whose validity ends ~1 rad of
+    residual RMS -- the capture-range wall that limits cold starts at
+    D/r0 >= 10.  Re-linearizing at the current iterate restores local
+    quadratic convergence out to several radians (the capture limit
+    becomes PSF speckle ambiguity, not linearization).  Cost per
+    iteration: nx partial-DFT column builds + one (nx, nx) solve --
+    use for boot/acquisition phases, not the 200 Hz steady state.
+    Single sample; vmap over batches.
+    """
+    x = estimate(model, y)
+    lam = damping * jnp.trace(model.A_s.T @ model.A_s) / model.n_states
+
+    def body(_, x):
+        phase = jnp.einsum("k,kij->ij", x, mode_stack)
+        y0, J = linearize_at(model, phase, mode_stack)
+        g = J.T @ (y - y0)
+        H = J.T @ J + lam * jnp.eye(model.n_states, dtype=J.dtype)
+        return x + jax.scipy.linalg.solve(H, g, assume_a="pos")
+
+    return jax.lax.fori_loop(0, n_iters, body, x)
+
+
 def sample_noise(model: EstimatorModel, key, shape=()) -> jnp.ndarray:
     """Seeded measurement noise (replaces the missing SNR_10.mat blob)."""
     return model.noise_std * jax.random.normal(

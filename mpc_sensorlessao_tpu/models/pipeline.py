@@ -150,7 +150,44 @@ def run_closed_loop(system: System, cfg: SystemConfig, key,
     """Closed loop over the test window (after train+valid)."""
     n = n_steps if n_steps is not None else cfg.sim.n_test
     start = cfg.sim.n_train + cfg.sim.n_valid
+    init_u = None
+    if cfg.mpc.warm_start:
+        init_u = warm_start_command(system, cfg, start)
     return closed_loop.simulate(system.loop, system.layers, cfg, key,
                                 n_steps=n, start_step=start, solver=solver,
                                 edge_model=system.edge_model,
-                                edge_state=system.edge_state)
+                                edge_state=system.edge_state,
+                                init_u=init_u)
+
+
+def warm_start_command(system: System, cfg: SystemConfig,
+                       start: int) -> jnp.ndarray:
+    """Calibration-handover DM command (MPCConfig.warm_start).
+
+    Predicts the state at the first closed-loop step from the last two
+    identification states (known with direct phase access during ID,
+    README.md:86-93) through the fitted VAR model, and fits the DM to
+    cancel it: u0 = argmin ||B u + x_pred||^2, clipped to the input box.
+    Host-side one-time setup.
+    """
+    import numpy as np
+    states = np.asarray(system.coeff_series[:, 1:], dtype=np.float64)
+    A1 = np.asarray(system.var_model.coefficient(1), dtype=np.float64)
+    x_pred = A1 @ states[start - 1]
+    if cfg.mpc.var_order >= 2:
+        A2 = np.asarray(system.var_model.coefficient(2), dtype=np.float64)
+        x_pred = x_pred + A2 @ states[start - 2]
+    B = np.asarray(system.dm_model.influence, dtype=np.float64)
+    # ridge-regularized fit: cancel only what the DM reaches with bounded
+    # effort (a plain pinv at high mode counts demands commands far past
+    # the box; clipping those injects garbage instead of correcting)
+    gram = B.T @ B
+    lam0 = 1e-6 * np.trace(gram) / gram.shape[0]
+    lam = lam0
+    for _ in range(20):
+        u0 = np.linalg.solve(gram + lam * np.eye(gram.shape[0]),
+                             -B.T @ x_pred)
+        if np.abs(u0).max() <= 0.5 * cfg.mpc.u_max:
+            break
+        lam *= 10.0
+    return jnp.asarray(u0, dtype=jnp.float32)

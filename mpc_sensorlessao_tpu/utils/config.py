@@ -214,6 +214,16 @@ class MPCConfig:
     barrier_k: float = 1e-2            # fixed log-barrier parameter
     newton_steps: int = 1              # fixed Newton step count
     solver: str = "fastmpc"            # fastmpc | closed_form | barrier | admm
+    # Acquisition warm start: initialize the DM so the first-step residual
+    # is the VAR one-step *prediction error* of the last identification
+    # states, not the full turbulence.  The linear estimator's ~1 rad
+    # capture range is a cold-start wall at D/r0 >= 10 (|x| ~ 2.6 rad);
+    # the ID pre-pass has direct phase access (the reference fits
+    # zernmodfit on the true phase, README.md:86-93), so handing the loop
+    # over from calibration is physically legitimate -- and once locked,
+    # per-step innovations stay inside the capture basin.  False = the
+    # reference's cold start (zero DM).
+    warm_start: bool = False
     # First-step x0_pre: the reference passes zeros (README.md:485-486),
     # which makes the near-double-integrator VAR(2) predict ~2x the state
     # on the cold start and can kick strong-turbulence windows out of the

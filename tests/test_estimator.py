@@ -126,3 +126,23 @@ def test_mmse_requires_prior():
         estimator.build(cfg, basis)
     with pytest.raises(ValueError):
         estimator.build(EstimatorConfig(resolution=32, method="wat"), basis)
+
+
+def test_full_gauss_newton_extends_capture(model128):
+    """Re-linearized GN recovers aberrations far beyond the zero-point
+    linearization's ~1 rad validity (the D/r0>=10 acquisition tool)."""
+    basis, model = model128
+    stack = basis.stack[1:]
+    key = jax.random.PRNGKey(3)
+    x_true = jax.random.normal(key, (27,))
+    x_true = x_true / jnp.linalg.norm(x_true) * 1.4      # 1.4 rad
+    phase = jnp.einsum("k,kij->ij", x_true, stack)
+    y = estimator.measure(model, phase)
+    e_lin = float(jnp.linalg.norm(
+        estimator.estimate(model, y) - x_true))
+    e_full = float(jnp.linalg.norm(
+        estimator.estimate_full_gn(model, y, stack, 4) - x_true))
+    nt = float(jnp.linalg.norm(x_true))
+    assert e_lin / nt > 0.25          # linear estimator is off the rails
+    assert e_full / nt < 0.1          # full GN locks
+    assert e_full < 0.35 * e_lin
