@@ -1,1 +1,1 @@
-from . import closed_loop, dm, estimator, mpc, pipeline, solvers, var
+from . import closed_loop, dm, estimator, mpc, pipeline, solvers, var, wfs

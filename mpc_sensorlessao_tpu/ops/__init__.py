@@ -1,2 +1,3 @@
-from . import (dft, newton_kkt, pallas_kernels, phase_screens, phase_stats,
-               psf, zernike)
+from . import (block_tridiag, dft, edge_flow, karhunen_loeve, newton_kkt,
+               pallas_kernels, phase_screens, phase_stats, psf, zernike,
+               zernike_stats)

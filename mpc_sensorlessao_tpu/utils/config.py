@@ -112,7 +112,12 @@ class DMConfig:
     (reference: README.md:193-234)."""
 
     n_act_side: int = 12               # m1 -> 144 actuators
-    coupling: float = 0.1              # Gaussian coupling
+    coupling: float = 0.1              # influence coupling at one pitch
+    # Influence-function family: "gaussian" (the reference pipeline's
+    # inline model, README.md:230), or the OOMAO influenceFunction Bezier
+    # profiles "bezier_monotonic" / "bezier_overshoot"
+    # (influenceFunction.m:57-62).
+    influence: str = "gaussian"
     diameter: float = 4.4e-3           # DM aperture [m]
     half_width: float = 2.2e-3         # DM grid half extent [m] (README.md:206)
     pixel_pitch: float = 6.5e-6        # [m] (README.md:194)

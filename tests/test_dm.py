@@ -67,3 +67,41 @@ def test_apply_correction_batched():
     u = jnp.ones((4, 144))
     ad = dm.apply_correction(model, u)
     assert ad.shape == (4, 27)
+
+
+def test_bezier_influence_functions():
+    """OOMAO influenceFunction capability (influenceFunction.m:49-119):
+    profile(0)=1, profile(1 pitch)=coupling, correct preset shapes."""
+    import dataclasses
+    from mpc_sensorlessao_tpu.models.dm import bezier_profile
+    for preset in ("monotonic", "overshoot"):
+        f, support = bezier_profile(0.25, preset)
+        assert abs(f(0.0) - 1.0) < 1e-9
+        assert abs(f(1.0) - 0.25) < 1e-4          # coupling anchor
+        assert f(support + 0.1) == 0.0            # compact support
+        assert abs(f(-0.7) - f(0.7)) < 1e-9       # even symmetry
+    f_m, _ = bezier_profile(0.25, "monotonic")
+    r = np.linspace(0, 1.8, 80)
+    vm = f_m(r)
+    assert (np.diff(vm) < 1e-6).all()             # monotone decreasing
+    f_o, _ = bezier_profile(0.25, "overshoot")
+    assert f_o(r).min() < -1e-3                   # negative overshoot
+
+    import pytest
+    with pytest.raises(ValueError):
+        bezier_profile(0.2, "wat")
+
+
+def test_bezier_dm_builds_and_spans():
+    import dataclasses
+    from mpc_sensorlessao_tpu.utils.config import DMConfig
+    basis = zernike.make_basis(4, 64)
+    for preset in ("bezier_monotonic", "bezier_overshoot"):
+        cfg = DMConfig(influence=preset)
+        model = dm.build(cfg, basis)
+        B = np.asarray(model.influence)
+        assert B.shape == (14, 144)
+        # low-order modes well within reach: a tilt fit is near-exact
+        x = np.zeros(14); x[0] = 1.0
+        u, *_ = np.linalg.lstsq(B, x, rcond=None)
+        assert np.linalg.norm(B @ u - x) < 1e-3
