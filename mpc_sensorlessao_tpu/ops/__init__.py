@@ -1,3 +1,3 @@
 from . import (block_tridiag, dft, edge_flow, karhunen_loeve, newton_kkt,
-               pallas_kernels, phase_screens, phase_stats, psf, zernike,
-               zernike_stats)
+               pallas_kernels, phase_screens, phase_stats, psf,
+               telescope_optics, zernike, zernike_stats)
