@@ -10,7 +10,8 @@ control step, README.md:36; BASELINE.md) -> vs_baseline = solves_per_s/200.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env knobs: BENCH_RES (512), BENCH_BATCH (32), BENCH_STEPS (20),
-BENCH_SOLVER (fastmpc), BENCH_REPEATS (3).
+BENCH_SOLVER (fastmpc), BENCH_REPEATS (3), BENCH_DFT_DTYPE
+(float32 | bfloat16 measurement matmuls).
 """
 
 import dataclasses
@@ -35,6 +36,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "25"))
     solver = os.environ.get("BENCH_SOLVER", "fastmpc")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    dft_dtype = os.environ.get("BENCH_DFT_DTYPE", "float32")
 
     from mpc_sensorlessao_tpu.models import pipeline
     from mpc_sensorlessao_tpu.parallel import montecarlo
@@ -42,8 +44,11 @@ def main():
 
     cfg = reference_config(resolution=res)
     # shorter ID pre-pass: the benchmark measures the closed loop
-    cfg = cfg.replace(sim=dataclasses.replace(
-        cfg.sim, n_train=300, n_valid=50, n_test=steps))
+    cfg = cfg.replace(
+        sim=dataclasses.replace(cfg.sim, n_train=300, n_valid=50,
+                                n_test=steps),
+        estimator=dataclasses.replace(cfg.estimator,
+                                      dft_dtype=dft_dtype))
 
     t0 = time.time()
     system = pipeline.build(cfg, jax.random.PRNGKey(0))

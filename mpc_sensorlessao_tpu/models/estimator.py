@@ -53,6 +53,12 @@ class EstimatorModel:
     scale: float = struct.field(pytree_node=False)
     crop_half: int = struct.field(pytree_node=False)
     use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # "float32" | "bfloat16" DFT matmul operands (EstimatorConfig.dft_dtype)
+    dft_dtype: str = struct.field(pytree_node=False, default="float32")
+    # Precomputed cos/sin of the diversity maps for the fused Pallas
+    # kernel (angle-addition identity; ops/pallas_kernels.py).
+    div_cos: jnp.ndarray | None = None
+    div_sin: jnp.ndarray | None = None
 
     @property
     def n_pixels(self) -> int:
@@ -84,7 +90,10 @@ def measure(
     """
     y = psf.diversity_measurements(
         phase_res, model.diversity_phases, model.pupil, model.scale,
-        model.crop_half, dft_op=model.dft_op, use_pallas=model.use_pallas)
+        model.crop_half, dft_op=model.dft_op, use_pallas=model.use_pallas,
+        compute_dtype=(jnp.bfloat16 if model.dft_dtype == "bfloat16"
+                       else None),
+        div_cos=model.div_cos, div_sin=model.div_sin)
     if noise is not None:
         y = y + noise
     return y
@@ -293,4 +302,9 @@ def build(
         scale=scale,
         crop_half=cfg.crop_half,
         use_pallas=(jax.default_backend() == "tpu"),
+        dft_dtype=cfg.dft_dtype,
+        div_cos=jnp.asarray(np.cos(np.asarray(diversity_phases)),
+                            dtype=jnp.float32),
+        div_sin=jnp.asarray(np.sin(np.asarray(diversity_phases)),
+                            dtype=jnp.float32),
     ))

@@ -58,3 +58,40 @@ def partial_centered_fft2(field: jnp.ndarray, A_ri: jnp.ndarray) -> jnp.ndarray:
     A = jax.lax.complex(A_ri[0], A_ri[1])
     rows = jnp.einsum("un,...nm->...um", A, field)      # (..., w, N)
     return jnp.einsum("...um,vm->...uv", rows, A)       # (..., w, w)
+
+
+def partial_centered_fft2_real(fr: jnp.ndarray, fi: jnp.ndarray,
+                               A_ri: jnp.ndarray,
+                               compute_dtype=None):
+    """Same transform in explicit real arithmetic: (out_r, out_i).
+
+    ``compute_dtype`` (e.g. jnp.bfloat16) casts the matmul *operands*
+    while accumulating in float32 (preferred_element_type) -- the MXU's
+    native mixed-precision mode, ~2x the fp32 matmul throughput.  The DFT
+    operands are O(1) (twiddles and unit-modulus fields), so bf16's 8-bit
+    mantissa costs ~0.4% relative spectrum error -- far below the
+    estimator's 10 dB measurement-noise floor (see EstimatorConfig
+    dft_dtype).  None keeps float32 operands (bit-compatible with the
+    complex path up to reassociation).
+    """
+    are, aim = A_ri[0], A_ri[1]
+    if compute_dtype is not None:
+        fr = fr.astype(compute_dtype)
+        fi = fi.astype(compute_dtype)
+        are = are.astype(compute_dtype)
+        aim = aim.astype(compute_dtype)
+
+    def mm(a, b, sub):      # einsum with f32 accumulation
+        return jnp.einsum(sub, a, b,
+                          preferred_element_type=jnp.float32)
+
+    rr = mm(are, fr, "un,...nm->...um") - mm(aim, fi, "un,...nm->...um")
+    ri = mm(are, fi, "un,...nm->...um") + mm(aim, fr, "un,...nm->...um")
+    if compute_dtype is not None:
+        rr = rr.astype(compute_dtype)
+        ri = ri.astype(compute_dtype)
+    out_r = (mm(rr, are, "...um,vm->...uv")
+             - mm(ri, aim, "...um,vm->...uv"))
+    out_i = (mm(rr, aim, "...um,vm->...uv")
+             + mm(ri, are, "...um,vm->...uv"))
+    return out_r, out_i

@@ -24,18 +24,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _psf_kernel(phase_ref, pupil_ref, are_ref, aim_ref, out_ref, *,
-                scale: float):
+                scale: float, compute_dtype=None):
     phase = phase_ref[0]
     pup = pupil_ref[:]
     fr = pup * jnp.cos(phase)
     fi = pup * jnp.sin(phase)
     are = are_ref[:]
     aim = aim_ref[:]
+    if compute_dtype is not None:
+        # bf16 matmul operands, f32 accumulation (native MXU mixed
+        # precision, ~2x fp32 matmul throughput; see
+        # dft.partial_centered_fft2_real for the error budget)
+        dt = jnp.dtype(compute_dtype)
+        fr = fr.astype(dt)
+        fi = fi.astype(dt)
+        are = are.astype(dt)
+        aim = aim.astype(dt)
     # rows = A @ field  (w, R), complex via real parts
     rr = (jnp.dot(are, fr, preferred_element_type=jnp.float32)
           - jnp.dot(aim, fi, preferred_element_type=jnp.float32))
     ri = (jnp.dot(are, fi, preferred_element_type=jnp.float32)
           + jnp.dot(aim, fr, preferred_element_type=jnp.float32))
+    if compute_dtype is not None:
+        dt = jnp.dtype(compute_dtype)
+        rr = rr.astype(dt)
+        ri = ri.astype(dt)
     # out = rows @ A.T  (w, w)
     dn = (((1,), (1,)), ((), ()))
     orr = (jax.lax.dot_general(rr, are, dn,
@@ -49,19 +62,121 @@ def _psf_kernel(phase_ref, pupil_ref, are_ref, aim_ref, out_ref, *,
     out_ref[0] = (orr * orr + oi * oi) * scale
 
 
+def _psf_div_kernel(phase_ref, pupil_ref, cosd_ref, sind_ref, are_ref,
+                    aim_ref, out_ref, *, scale: float, n_div: int,
+                    chunk: int, compute_dtype=None):
+    """All diversities of a CHUNK of scenarios in one program.
+
+    cos/sin of the residual phase are computed ONCE per scenario and
+    combined with the precomputed diversity cos/sin maps by the
+    angle-addition identity (3x fewer transcendentals than
+    cos(phase + zd Z4) per diversity); the (B, n_div, R, R) summed-phase
+    tensor of the unfused path is never materialized in HBM; and the
+    6-plus-MB of per-program constants (pupil, diversity maps, DFT
+    operators) are amortized over `chunk` scenarios.
+    """
+    pup = pupil_ref[:]
+    w = are_ref.shape[0]
+    R = pup.shape[-1]
+    # pack real/imag DFT operators into one (2w, R) operand: every
+    # complex product becomes slices of ONE matmul with twice the MXU
+    # sublane occupancy (w=31 alone uses 31/128 rows)
+    A2 = jnp.concatenate([are_ref[:], aim_ref[:]], axis=0)    # (2w, R)
+    dt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+    if dt is not None:
+        A2 = A2.astype(dt)
+    dn = (((1,), (1,)), ((), ()))
+    for b in range(chunk):
+        p = phase_ref[b]
+        cp = jnp.cos(p)
+        sp = jnp.sin(p)
+        for d in range(n_div):
+            cd = cosd_ref[d]
+            sd = sind_ref[d]
+            fr = pup * (cp * cd - sp * sd)
+            fi = pup * (sp * cd + cp * sd)
+            F = jnp.concatenate([fr, fi], axis=1)             # (R, 2R)
+            if dt is not None:
+                F = F.astype(dt)
+            # S1 = A2 @ F: [are|aim] x [fr|fi] -> 4 products at once
+            S1 = jnp.dot(A2, F, preferred_element_type=jnp.float32)
+            rr = S1[:w, :R] - S1[w:, R:]      # are fr - aim fi
+            ri = S1[:w, R:] + S1[w:, :R]      # are fi + aim fr
+            G = jnp.concatenate([rr, ri], axis=0)             # (2w, R)
+            if dt is not None:
+                G = G.astype(dt)
+            S2 = jax.lax.dot_general(G, A2, dn,
+                                     preferred_element_type=jnp.float32)
+            orr = S2[:w, :w] - S2[w:, w:]     # rr are' - ri aim'
+            oi = S2[:w, w:] + S2[w:, :w]      # rr aim' + ri are'
+            out_ref[b, d] = (orr * orr + oi * oi) * scale
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("scale", "interpret"))
+                   static_argnames=("scale", "interpret", "compute_dtype"))
+def psf_crop_diversity(phase, pupil, div_cos, div_sin, dft_op,
+                       scale: float, interpret: bool = False,
+                       compute_dtype: str | None = None):
+    """Fused diversity-PSF crops: (B, R, R) phase -> (B, n_div, w, w).
+
+    Scenarios are processed in chunks per grid program to amortize the
+    constant operands; diversities unrolled inside VMEM (the hot
+    estimator measurement, README.md:461-471).
+    """
+    B, R, _ = phase.shape
+    n_div = div_cos.shape[0]
+    w = dft_op.shape[1]
+    # chunking amortizes ~2(n_div+1)R^2 floats of constants per program;
+    # bound the chunk so phases + constants stay well inside ~16MB VMEM
+    budget = 6 * 1024 * 1024 // (R * R * 4)
+    chunk = max(1, min(8, budget))
+    while B % chunk:
+        chunk -= 1
+    kernel = functools.partial(_psf_div_kernel, scale=scale, n_div=n_div,
+                               chunk=chunk, compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, R, R), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_div, R, R), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_div, R, R), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, n_div, w, w),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_div, w, w), jnp.float32),
+        interpret=interpret,
+    )(phase.astype(jnp.float32), pupil.astype(jnp.float32),
+      div_cos.astype(jnp.float32), div_sin.astype(jnp.float32),
+      dft_op[0], dft_op[1])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "compute_dtype"))
 def psf_crop_intensity(phase, pupil, dft_op, scale: float,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       compute_dtype: str | None = None):
     """Batched fused PSF crop intensities.
 
     phase: (B, R, R) float32 residual+diversity phases;
     pupil: (R, R) float32; dft_op: (2, w, R) from ops.dft.
+    ``compute_dtype``: None (f32) or "bfloat16" matmul operands.
     Returns (B, w, w) cropped PSF intensities * scale.
     """
     B, R, _ = phase.shape
     w = dft_op.shape[1]
-    kernel = functools.partial(_psf_kernel, scale=scale)
+    kernel = functools.partial(_psf_kernel, scale=scale,
+                               compute_dtype=compute_dtype)
     return pl.pallas_call(
         kernel,
         grid=(B,),

@@ -79,14 +79,27 @@ def cropped_psf_intensity_dft(
     pupil: jnp.ndarray,
     dft_op: jnp.ndarray,
     scale: float,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """PSF crop via partial centered DFT matmuls (ops.dft) -- the
     TPU-native hot path: only the (2c+1)^2 window the estimator consumes
     is ever computed (vs the reference's full 512^2 FFT, README.md:468).
+
+    ``compute_dtype`` selects reduced-precision matmul operands
+    (dft.partial_centered_fft2_real); None = float32 complex path.
     """
-    field = pupil * jnp.exp(1j * phase.astype(jnp.float32))
-    spec = dft.partial_centered_fft2(field, dft_op)
-    return (spec.real ** 2 + spec.imag ** 2) * scale
+    if compute_dtype is None:
+        field = pupil * jnp.exp(1j * phase.astype(jnp.float32))
+        spec = dft.partial_centered_fft2(field, dft_op)
+        return (spec.real ** 2 + spec.imag ** 2) * scale
+    ph = phase.astype(jnp.float32)
+    fr = pupil * jnp.cos(ph)
+    fi = pupil * jnp.sin(ph)
+    out_r, out_i = dft.partial_centered_fft2_real(
+        fr, fi, dft_op, compute_dtype=compute_dtype)
+    out_r = out_r.astype(jnp.float32)
+    out_i = out_i.astype(jnp.float32)
+    return (out_r ** 2 + out_i ** 2) * scale
 
 
 def diversity_measurements(
@@ -97,6 +110,9 @@ def diversity_measurements(
     crop_half: int,
     dft_op: jnp.ndarray | None = None,
     use_pallas: bool = False,
+    compute_dtype=None,
+    div_cos: jnp.ndarray | None = None,
+    div_sin: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full measurement path: residual phase(s) -> stacked PSF vector(s).
 
@@ -108,6 +124,20 @@ def diversity_measurements(
     full FFT2 + crop (CPU/reference-parity path).  Both are bit-equal up
     to float roundoff (tested).
     """
+    if dft_op is not None and use_pallas and div_cos is not None:
+        # fused kernel: diversity addition + cos/sin + DFT + crop all in
+        # VMEM (the (B, n_div, R, R) sum is never materialized)
+        from . import pallas_kernels
+        lead = phase_res.shape[:-2]
+        R = phase_res.shape[-1]
+        flat = phase_res.reshape((-1, R, R))
+        crops = pallas_kernels.psf_crop_diversity(
+            flat, pupil, div_cos, div_sin, dft_op, scale,
+            compute_dtype=("bfloat16" if compute_dtype == jnp.bfloat16
+                           else None))
+        w = crops.shape[-1]
+        return measurement_vector(
+            crops.reshape(*lead, div_cos.shape[0], w, w))
     total = phase_res[..., None, :, :] + diversity_phases
     if dft_op is not None:
         if use_pallas:
@@ -116,11 +146,14 @@ def diversity_measurements(
             R = total.shape[-1]
             flat = total.reshape((-1, R, R))
             crops = pallas_kernels.psf_crop_intensity(
-                flat, pupil, dft_op, scale)
+                flat, pupil, dft_op, scale,
+                compute_dtype=("bfloat16" if compute_dtype == jnp.bfloat16
+                               else None))
             w = crops.shape[-1]
             crops = crops.reshape(*lead, w, w)
         else:
-            crops = cropped_psf_intensity_dft(total, pupil, dft_op, scale)
+            crops = cropped_psf_intensity_dft(total, pupil, dft_op, scale,
+                                              compute_dtype=compute_dtype)
     else:
         im = psf_intensity(total, pupil, scale)
         crops = crop_center(im, crop_half)

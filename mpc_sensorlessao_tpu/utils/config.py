@@ -156,6 +156,11 @@ class EstimatorConfig:
     #                 awgn-style; peak-dominated, ~15x stronger)
     snr_reference: str = "mean_abs"
     tikhonov: float = 0.0              # optional LS regularization
+    # DFT matmul operand precision for the measurement path: "float32"
+    # (default, bit-stable) or "bfloat16" (MXU-native mixed precision,
+    # ~2x matmul throughput; ~0.4% spectrum error, far below the 10 dB
+    # noise floor -- see dft.partial_centered_fft2_real).
+    dft_dtype: str = "float32"
     # Estimation method:
     # "ls":   plain normal-equation least squares (the reference,
     #         README.md:478);

@@ -20,3 +20,25 @@ def test_fused_psf_kernel_matches_jnp_path():
     assert out.shape == (B, 2 * half + 1, 2 * half + 1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=1e-5)
+
+
+def test_fused_diversity_kernel_matches_unfused():
+    """psf_crop_diversity (angle-addition fused path) == the reference
+    jnp path, interpret mode."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mpc_sensorlessao_tpu.ops import dft, pallas_kernels, psf
+
+    R, c = 64, 9
+    rng = np.random.default_rng(0)
+    phase = jnp.asarray(rng.normal(size=(3, R, R)) * 0.4, jnp.float32)
+    div = jnp.asarray(rng.normal(size=(3, R, R)) * 0.8, jnp.float32)
+    pupil = psf.pupil_mask(R)
+    op = dft.centered_partial_dft(R, c)
+
+    fused = pallas_kernels.psf_crop_diversity(
+        phase, pupil, jnp.cos(div), jnp.sin(div), op, 2.0, interpret=True)
+    ref = psf.cropped_psf_intensity_dft(
+        phase[:, None] + div[None], pupil, op, 2.0)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
