@@ -86,14 +86,29 @@ def expose(cfg: DetectorConfig, key, frames: jnp.ndarray) -> jnp.ndarray:
 
 # ------------------------------------------------------------------ imager
 
-def strehl_ratio(image: jnp.ndarray, reference: jnp.ndarray) -> jnp.ndarray:
+def strehl_ratio(image: jnp.ndarray, reference: jnp.ndarray,
+                 center: bool = False) -> jnp.ndarray:
     """OTF-volume Strehl (imager.m:115): sum(OTF_AO)/sum(OTF_DL).
 
     The OTF volume is the flux-normalized PSF peak, so no transform is
     needed: S = (peak/flux)_image / (peak/flux)_reference.
+
+    ``center=False`` (default) takes the frame maximum as the peak --
+    exact only for NOISELESS frames (detector noise biases the maximum
+    high) but robust to residual tip/tilt shifting the peak off-center.
+    ``center=True`` samples the known on-axis pixel instead: unbiased
+    under zero-mean noise, assumes a centered PSF (use it on noisy
+    frames of a tip/tilt-stabilized path).
     """
-    pk_i = jnp.max(image) / jnp.sum(image)
-    pk_r = jnp.max(reference) / jnp.sum(reference)
+    if center:
+        ci, cj = image.shape[-2] // 2, image.shape[-1] // 2
+        pk_i = image[..., ci, cj] / jnp.sum(image, axis=(-2, -1))
+        cr_i, cr_j = reference.shape[-2] // 2, reference.shape[-1] // 2
+        pk_r = reference[..., cr_i, cr_j] / jnp.sum(reference,
+                                                    axis=(-2, -1))
+    else:
+        pk_i = jnp.max(image) / jnp.sum(image)
+        pk_r = jnp.max(reference) / jnp.sum(reference)
     return pk_i / pk_r
 
 

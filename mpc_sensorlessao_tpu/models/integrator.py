@@ -115,6 +115,12 @@ def closed_loop(sense_op: jnp.ndarray, command: CalibrationVault | jnp.ndarray,
     The scan carry is (c, slope ring buffer); update law
     controller.m:305-308 with the sign convention phi_res = phi_turb -
     modes' c, so c accumulates the modal content of the turbulence.
+
+    Latency convention: the command computed from frame t is applied
+    from frame t+1 on (the reported residual at t uses the pre-update
+    command), so cfg.delay counts EXTRA measurement-path frames on top
+    of that one inherent actuation frame -- matching the reference
+    controller's timing.
     """
     M = command.M if isinstance(command, CalibrationVault) else command
     K = mode_stack_flat.shape[0]
@@ -139,7 +145,12 @@ def closed_loop(sense_op: jnp.ndarray, command: CalibrationVault | jnp.ndarray,
         else:
             delayed = est
         c_new = (1.0 - leak) * c + gain * delayed       # controller.m:308
-        res = phi_t - mode_stack_flat.T @ c_new
+        # the step's residual uses the command that was APPLIED while
+        # this frame was sensed (c, not c_new): the update acts on the
+        # next frame, so delay=0 still carries one frame of actuation
+        # latency like the reference controller; cfg.delay counts
+        # EXTRA frames on top of that
+        res = phi_t - mode_stack_flat.T @ c
         rms = jnp.sqrt(jnp.mean(res * res))
         return (c_new, ring), (c_new, rms)
 

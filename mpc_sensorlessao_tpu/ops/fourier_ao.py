@@ -112,20 +112,34 @@ def closed_loop_aliasing(cfg: FourierAOConfig, nu):
 
 
 def closed_loop_noise(cfg: FourierAOConfig, nu):
-    """Noise propagation TF (fourierAdaptiveOptics.m:319-328)."""
+    """Noise propagation TF (fourierAdaptiveOptics.m:319-328).
+
+    The reference computes (red/sinc(nu T))^2, which is 0/0 at every
+    nu = k/T; since red = g sinc(nu T)/(2 pi nu T), the sinc cancels
+    analytically -- red/sinc = g/(2 pi nu T) -- so we use that closed
+    form (the limit value) instead of dividing, keeping the automated
+    trapezoid integrals in variance_integral finite (deliberate fix of
+    the reference's 0/0 quirk)."""
     nu = np.asarray(nu, dtype=np.float64)
     out = np.ones(nu.shape)
     idx = nu != 0
     red = _red(cfg, nu[idx])
-    out[idx] = (red / _sinc(nu[idx] * cfg.exposure_time)) ** 2 / (
+    red_over_sinc = cfg.loop_gain / (
+        2.0 * np.pi * nu[idx] * cfg.exposure_time)
+    out[idx] = red_over_sinc ** 2 / (
         1.0 + red ** 2 - 2.0 * red * np.sin(
             2.0 * np.pi * nu[idx] * (cfg.exposure_time + cfg.latency)))
     return out
 
 
 def _average_tf(cfg: FourierAOConfig, fx, fy, fun):
-    """fr0-weighted layer average at nu_l = f . v_l
-    (fourierAdaptiveOptics.m:336-344)."""
+    """fr0-weighted layer sum at nu_l = f . v_l
+    (fourierAdaptiveOptics.m:336-344 `averageRejection`).
+
+    The reference uses the RAW fractionnalR0 weights (no normalization),
+    so with weights that do not sum to 1 (e.g. the pipeline's
+    [0.7,0.1,0.2]/25 config, README.md:45-49) the "average" is scaled by
+    sum(fr0) -- replicated exactly here."""
     atm = cfg.atm
     E = np.zeros(np.shape(fx))
     for vs, vd, fr0 in zip(atm.wind_speeds, atm.wind_directions,
@@ -133,7 +147,7 @@ def _average_tf(cfg: FourierAOConfig, fx, fy, fun):
         vx, vy = vs * math.cos(vd), vs * math.sin(vd)
         nu = fx * vx + fy * vy
         E = E + fr0 * fun(cfg, nu)
-    return E / sum(atm.fractional_r0)
+    return E
 
 
 # ----------------------------------------------------------------- PSD terms
@@ -228,14 +242,16 @@ def servo_lag_psd(cfg: FourierAOConfig, fx, fy):
 
 def anisoplanatism_psd(cfg: FourierAOConfig, fx, fy, direction):
     """Off-axis decorrelation PSD for a source offset ``direction``
-    = (theta_x, theta_y) [rad] (fourierAdaptiveOptics.m:153-165)."""
+    = (theta_x, theta_y) [rad] (fourierAdaptiveOptics.m:153-165).
+
+    Raw fractionnalR0 weights, like the reference (see _average_tf)."""
     fx = np.asarray(fx, dtype=np.float64)
     fy = np.asarray(fy, dtype=np.float64)
     atm = cfg.atm
     A = np.zeros(fx.shape)
     for h, fr0 in zip(atm.altitudes, atm.fractional_r0):
         red = 2.0 * np.pi * h * (fx * direction[0] + fy * direction[1])
-        A = A + (fr0 / sum(atm.fractional_r0)) * (1.0 - np.cos(red))
+        A = A + fr0 * (1.0 - np.cos(red))
     f = np.hypot(fx, fy)
     return piston_filter(cfg, f) * A * phase_stats.spectrum(f, cfg.atm)
 

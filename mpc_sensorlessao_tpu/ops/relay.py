@@ -44,8 +44,19 @@ def direction_vector(zenith: float, azimuth: float):
 def _bilinear(screen: jnp.ndarray, rows: jnp.ndarray,
               cols: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample of (n, n) screen at fractional (rows, cols)
-    index grids (the `linear` interpolator, telescopeAbstract.m:1000+)."""
+    index grids (the `linear` interpolator, telescopeAbstract.m:1000+).
+
+    Out-of-bounds coordinates are clamped to the screen edge (the
+    fractional part too, not just the base index, so sampling past the
+    border holds the edge value instead of silently extrapolating --
+    the reference's interp2 would return NaN there and surface the
+    mis-sized footprint; clamping keeps the op jit-safe while staying
+    bounded).  `project_layers` additionally asserts the footprint
+    fits at setup time.
+    """
     n = screen.shape[-1]
+    rows = jnp.clip(rows, 0.0, n - 1.0)
+    cols = jnp.clip(cols, 0.0, n - 1.0)
     r0 = jnp.clip(jnp.floor(rows), 0, n - 2).astype(jnp.int32)
     c0 = jnp.clip(jnp.floor(cols), 0, n - 2).astype(jnp.int32)
     fr = rows - r0
@@ -97,6 +108,17 @@ def project_layers(
             layer_r = telescope_radius * (1.0 - h / source_height)
         xc = h * direction[0]
         yc = h * direction[1]
+        # fail loudly at trace/setup time if the source footprint leaves
+        # the screen (static geometry -> static check); _bilinear would
+        # otherwise clamp to the edge value
+        half_extent = (n - 1) / 2.0 * pitch
+        reach = abs(layer_r) + max(abs(xc), abs(yc))
+        if reach > half_extent + 1e-9:
+            raise ValueError(
+                f"source footprint (reach {reach:.3f} m) exceeds the "
+                f"layer screen half-extent {half_extent:.3f} m at "
+                f"altitude {h} m; enlarge the screen or reduce the "
+                "off-axis angle")
         # physical coords -> fractional index (screen centered on axis)
         half = (n - 1) / 2.0
         cols = (u * layer_r + xc) / pitch + half

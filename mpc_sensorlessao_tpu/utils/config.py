@@ -67,6 +67,34 @@ class AtmosphereConfig:
     def n_layers(self) -> int:
         return len(self.altitudes)
 
+    # -- derived observables (reference: atmosphere.m:296-374) --
+    # implemented in ops.phase_stats (local imports: phase_stats imports
+    # this module)
+
+    @property
+    def seeing_arcsec(self) -> float:
+        """0.98 lambda/r0 [arcsec] (atmosphere.m:297-300)."""
+        from ..ops import phase_stats
+        return phase_stats.seeing_arcsec(self)
+
+    @property
+    def theta0_arcsec(self) -> float:
+        """Isoplanatic angle, Roddier decay (atmosphere.m:319-334)."""
+        from ..ops import phase_stats
+        return phase_stats.theta0_arcsec(self)
+
+    @property
+    def tau0_ms(self) -> float:
+        """Coherence time, Roddier decay (atmosphere.m:337-353)."""
+        from ..ops import phase_stats
+        return phase_stats.tau0_ms(self)
+
+    @property
+    def greenwood_frequency(self) -> float:
+        """0.4292 meanWind/r0 [Hz] (atmosphere.m:368-374)."""
+        from ..ops import phase_stats
+        return phase_stats.greenwood_frequency(self)
+
     def layer(self, i: int) -> "AtmosphereConfig":
         """Single-layer slab view (reference: atmosphere.m:169 `slab`)."""
         return dataclasses.replace(

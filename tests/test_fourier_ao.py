@@ -134,3 +134,34 @@ def test_psf_normalized_peak():
     cy, cx = np.unravel_index(np.argmax(img), img.shape)
     assert abs(cy - 32) <= 1 and abs(cx - 32) <= 1
     assert np.all(np.isfinite(img))
+
+
+def test_noise_tf_finite_at_frame_rate_harmonics():
+    """red/sinc is 0/0 at nu = k/T in the reference; the analytic
+    cancellation red/sinc = g/(2 pi nu T) must give the finite limit."""
+    cfg = make_cfg(noise_variance=1.0)
+    T = cfg.exposure_time
+    for k in (1, 2, 5):
+        v = fourier_ao.closed_loop_noise(cfg, np.asarray([k / T]))
+        assert np.isfinite(v).all()
+        # limit value: red -> 0 there, denominator -> 1
+        expect = (cfg.loop_gain / (2 * np.pi * k)) ** 2
+        np.testing.assert_allclose(v, expect, rtol=1e-12)
+    # and epsilon-near the harmonic the TF is continuous
+    eps = 1e-9 / T
+    near = fourier_ao.closed_loop_noise(cfg, np.asarray([1 / T + eps]))
+    at = fourier_ao.closed_loop_noise(cfg, np.asarray([1 / T]))
+    np.testing.assert_allclose(near, at, rtol=1e-5)
+
+
+def test_average_tf_uses_raw_fr0_weights():
+    """averageRejection uses RAW fractionnalR0 weights
+    (fourierAdaptiveOptics.m:336-344): doubling fr0 doubles the TF."""
+    cfg1 = make_cfg()
+    atm2 = dataclasses.replace(
+        ATM, fractional_r0=tuple(2 * f for f in ATM.fractional_r0))
+    cfg2 = make_cfg(atm=atm2)
+    fx, fy = grid(cfg1, n=16)
+    t1 = fourier_ao._average_tf(cfg1, fx, fy, fourier_ao.closed_loop_rejection)
+    t2 = fourier_ao._average_tf(cfg2, fx, fy, fourier_ao.closed_loop_rejection)
+    np.testing.assert_allclose(t2, 2.0 * t1, rtol=1e-12)

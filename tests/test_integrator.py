@@ -88,3 +88,21 @@ def test_leak_bounds_command(sh_setup):
     c_acc, _ = integrator.closed_loop(model.slope_op, vault, flat, turb, cfg)
     # leaky integrator steady state < full correction
     assert 0.5 < float(c_acc[-1, 0]) < 1.0
+
+
+def test_zero_delay_has_one_frame_actuation_latency(sh_setup):
+    """The command computed from frame t acts on frame t+1: the first
+    reported residual equals the uncorrected turbulence even at
+    delay=0 (reference controller timing)."""
+    model, flat, D = sh_setup
+    vault = integrator.calibration_vault(D)
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=flat.shape[0]).astype(np.float32) * 0.3
+    phi = jnp.asarray(a) @ flat
+    turb = jnp.tile(phi[None], (10, 1))
+    _, rms = integrator.closed_loop(
+        model.slope_op, vault, flat, turb,
+        integrator.IntegratorConfig(gain=0.5, delay=0))
+    assert float(rms[0]) == pytest.approx(
+        float(jnp.sqrt(jnp.mean(phi * phi))), rel=1e-5)
+    assert float(rms[1]) < float(rms[0])     # correction from frame 1

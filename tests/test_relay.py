@@ -72,3 +72,20 @@ def test_multi_layer_sum_and_scales():
     base = np.tile(np.linspace(-R, R, res), (res, 1)) * 2
     expect = base * (550 / 589) / math.sqrt(math.cos(za))
     np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+
+def test_out_of_bounds_footprint_raises():
+    """A footprint that leaves the layer screen must fail loudly at
+    setup (the reference's interp2 would NaN) instead of extrapolating."""
+    screen, _ = make_ramp(33, 0.05)          # half-extent 0.8 m
+    with pytest.raises(ValueError, match="footprint"):
+        relay.project_layers([screen], [0.05], 0.5, [5000.0], 9,
+                             direction=(1e-4, 0.0))  # offset 0.5 m -> reach 1.0
+
+
+def test_bilinear_clamps_not_extrapolates():
+    """Sampling past the border holds the edge value (bounded), never
+    linearly extrapolates."""
+    screen, x = make_ramp(17, 1.0)
+    out = relay._bilinear(screen, jnp.asarray([[8.0]]), jnp.asarray([[30.0]]))
+    assert float(out[0, 0]) == pytest.approx(float(x[-1]))
