@@ -61,6 +61,13 @@ class StepOutputs(NamedTuple):
     rms_res: jnp.ndarray        # true residual-phase RMS in pupil [rad]
     rms_turb: jnp.ndarray       # uncorrected turbulence RMS [rad]
     strehl: jnp.ndarray         # Marechal approximation exp(-sigma^2)
+    # Exact OTF-volume Strehl (imager.m:98-115): peak of the noiseless
+    # on-axis (zd=0) diversity PSF crop over the diffraction-limited
+    # peak b_s -- total flux is phase-invariant (Parseval), so the peak
+    # ratio IS sum(OTF_res)/sum(OTF_DL).  Valid while the residual PSF
+    # peak stays inside the (2c+1)^2 crop (any locked loop).  None in
+    # hand-built telemetry fixtures.
+    strehl_exact: jnp.ndarray = None
 
 
 def make_loop_models(basis, est, dm_mod, mats, prob,
@@ -149,7 +156,8 @@ def simulate(
         # -- estimator (README.md:457-480) --
         noise = noise_scale * estimator_model.sample_noise(
             models.est, jax.random.fold_in(key, idx))
-        y = estimator_model.measure(models.est, phase_res, noise)
+        y_clean = estimator_model.measure(models.est, phase_res, None)
+        y = y_clean + noise
         gn = cfg.estimator.gauss_newton_iters
         if gn > 0:
             x0 = estimator_model.estimate_gauss_newton(
@@ -210,12 +218,19 @@ def simulate(
         rms_res = _pupil_rms(models, phase_res)
         rms_turb = _pupil_rms(models, phase_turb)
 
+        # exact Strehl from the already-computed zd=0 diversity crop
+        # (the middle w^2 block of y_clean; div order is (-amp, 0, +amp))
+        w2 = (2 * cfg.estimator.crop_half + 1) ** 2
+        strehl_exact = (jnp.max(y_clean[w2:2 * w2])
+                        / jnp.max(models.est.b_s[w2:2 * w2]))
+
         out = StepOutputs(
             u=u, du=u - u1, volts=volts, x_est=x0,
             x_est_norm=jnp.linalg.norm(x0),
             x_pred_norm=jnp.linalg.norm(x_pred[:nx]),
             cost=cost, rms_res=rms_res, rms_turb=rms_turb,
             strehl=jnp.exp(-rms_res ** 2),
+            strehl_exact=strehl_exact,
         )
         return (u, u1, x0, phase_cor_new, eflow), out
 

@@ -42,7 +42,8 @@ class MonteCarloStats(NamedTuple):
 
     mean_rms_res: jnp.ndarray     # settled mean residual RMS [rad]
     mean_rms_turb: jnp.ndarray
-    mean_strehl: jnp.ndarray
+    mean_strehl: jnp.ndarray      # Marechal
+    mean_strehl_exact: jnp.ndarray  # OTF-volume (imager.m:115)
     max_rms_res: jnp.ndarray
     mean_cost: jnp.ndarray
     n_scenarios: jnp.ndarray
@@ -123,6 +124,7 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
         res = out.rms_res[:, settle:]
         turb = out.rms_turb[:, settle:]
         strehl = out.strehl[:, settle:]
+        strehl_x = out.strehl_exact[:, settle:]
         cost = out.cost[:, settle:]
         local_n = jnp.asarray(res.shape[0], dtype=jnp.float32)
         stats = MonteCarloStats(
@@ -132,6 +134,8 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
                                        SCENARIO_AXIS),
             mean_strehl=jax.lax.psum(jnp.sum(jnp.mean(strehl, axis=1)),
                                      SCENARIO_AXIS),
+            mean_strehl_exact=jax.lax.psum(
+                jnp.sum(jnp.mean(strehl_x, axis=1)), SCENARIO_AXIS),
             max_rms_res=jax.lax.pmax(jnp.max(res), SCENARIO_AXIS),
             mean_cost=jax.lax.psum(jnp.sum(jnp.mean(cost, axis=1)),
                                    SCENARIO_AXIS),
@@ -157,6 +161,7 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
         mean_rms_res=stats.mean_rms_res / n_f,
         mean_rms_turb=stats.mean_rms_turb / n_f,
         mean_strehl=stats.mean_strehl / n_f,
+        mean_strehl_exact=stats.mean_strehl_exact / n_f,
         max_rms_res=stats.max_rms_res,
         mean_cost=stats.mean_cost / n_f,
         n_scenarios=n_f,

@@ -20,8 +20,10 @@ class LoopSummary(NamedTuple):
     p95_rms_res: jnp.ndarray
     mean_rms_turb: jnp.ndarray
     rejection: jnp.ndarray        # mean_rms_turb / mean_rms_res
-    mean_strehl: jnp.ndarray
+    mean_strehl: jnp.ndarray      # Marechal exp(-sigma^2)
     min_strehl: jnp.ndarray
+    mean_strehl_exact: jnp.ndarray  # OTF-volume Strehl (imager.m:115)
+    min_strehl_exact: jnp.ndarray
     mean_cost: jnp.ndarray
     max_abs_u: jnp.ndarray
     max_abs_du: jnp.ndarray
@@ -46,6 +48,14 @@ def summarize(outputs, settle_fraction: float = 0.5) -> LoopSummary:
         rejection=jnp.mean(turb) / jnp.mean(res),
         mean_strehl=jnp.mean(outputs.strehl[..., s:]),
         min_strehl=jnp.min(outputs.strehl[..., s:]),
+        # fall back to Marechal for hand-built fixtures without the
+        # exact-Strehl channel
+        mean_strehl_exact=jnp.mean(
+            (outputs.strehl if outputs.strehl_exact is None
+             else outputs.strehl_exact)[..., s:]),
+        min_strehl_exact=jnp.min(
+            (outputs.strehl if outputs.strehl_exact is None
+             else outputs.strehl_exact)[..., s:]),
         mean_cost=jnp.mean(outputs.cost[..., s:]),
         max_abs_u=jnp.max(jnp.abs(outputs.u)),
         max_abs_du=jnp.max(jnp.abs(outputs.du)),

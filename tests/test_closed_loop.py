@@ -87,3 +87,31 @@ def test_ramp_constraint_respected_by_admm(small_system):
     du = np.asarray(out.du)
     # ramp bound du_max=0.2121 (README.md:355); ADMM enforces it
     assert np.abs(du[1:]).max() <= cfg.mpc.du_max * 1.05
+
+
+def test_exact_strehl_telemetry(small_system):
+    """strehl_exact = OTF-volume Strehl from the zd=0 diversity crop
+    (imager.m:98-115).  At the settled small residual it must agree
+    with the Marechal approximation to a few percent; both in (0, 1]."""
+    cfg, system = small_system
+    out = pipeline.run_closed_loop(system, cfg, jax.random.PRNGKey(1))
+    sx = np.asarray(out.strehl_exact)
+    sm = np.asarray(out.strehl)
+    assert sx.shape == sm.shape
+    assert np.all(sx > 0.0) and np.all(sx < 1.0 + 1e-5)
+    settled = slice(-30, None)
+    assert np.abs(sx[settled] - sm[settled]).max() < 0.05
+    # cross-check step 0 against an oracle OTF-ratio Strehl computed
+    # from the full-frame PSF of the same residual phase
+    from mpc_sensorlessao_tpu.models import estimator as est_mod
+    from mpc_sensorlessao_tpu.ops import phase_screens, psf, zernike
+    start = cfg.sim.n_train + cfg.sim.n_valid
+    raw = phase_screens.phase_at(system.layers, start, cfg.resolution)
+    phase = zernike.piston_removed_phase(system.basis, raw) * float(
+        cfg.sim.magnification)
+    # step 0 residual = turbulence (cold start, zero DM)
+    im = psf.psf_intensity(phase, system.loop.est.pupil, 1.0)
+    im0 = psf.psf_intensity(jnp.zeros_like(phase),
+                            system.loop.est.pupil, 1.0)
+    oracle = float(jnp.max(im) / jnp.max(im0))
+    assert sx[0] == pytest.approx(oracle, rel=0.02)
