@@ -140,8 +140,12 @@ def simulate(
 
     turb_key = jax.random.fold_in(key, 0x7e5)
 
+    fuse = (cfg.mpc.est_gain != 1.0
+            or cfg.mpc.innovation_gate is not None)
+    track = cfg.estimator.track_gn_iters
+
     def step(carry, idx):
-        u1, u2, x_pre, phase_cor, eflow = carry
+        u1, u2, u3, x_pre, x_pre2, phase_cor, eflow = carry
 
         # -- turbulence + correction (README.md:447-453) --
         if edge_model is not None:
@@ -164,6 +168,59 @@ def simulate(
                 models.est, y, models.state_stack, gn)
         else:
             x0 = estimator_model.estimate(models.est, y)
+
+        # -- tracking estimator (EstimatorConfig.track_gn_iters): full
+        # re-linearized Gauss-Newton seeded by continuity -- the previous
+        # accepted estimate propagated by the applied command change --
+        # so the capture basin is the per-step innovation |x[k] - x[k-1]
+        # - B du|, not the absolute aberration |x|.  RECOVERY-ONLY rule:
+        # the tracked estimate replaces the base one only when the base
+        # estimate has clearly stopped explaining the measured PSFs
+        # (chi-square per pixel far beyond both the tracked candidate and
+        # an absolute floor).  A head-to-head chi-square pick is WRONG
+        # here: the better-regularized base estimator fits the data worse
+        # by design yet has the lower truth error in lock -- data fit
+        # cannot rank differently-regularized estimators.
+        if track > 0:
+            seed_cont = x_pre + models.prob.B @ (u1 - u2)
+            seed = jnp.where(idx <= cfg.mpc.var_order, x0, seed_cont)
+            x_gn = estimator_model.estimate_full_gn(
+                models.est, y, models.state_stack, track, x_init=seed)
+            sig2 = (noise_scale * models.est.noise_std) ** 2 + 1e-20
+
+            def chi2(xc):
+                ph = jnp.einsum("k,kij->ij", xc, models.state_stack)
+                dy = y - estimator_model.measure(models.est, ph, None)
+                return jnp.mean(dy * dy) / sig2
+
+            c_base = chi2(x0)
+            unlocked = jnp.logical_and(c_base > 3.0 * chi2(x_gn),
+                                       c_base > 20.0)
+            x0 = jnp.where(unlocked, x_gn, x0)
+
+        # -- estimator-VAR fusion (MPCConfig.est_gain/innovation_gate) --
+        if fuse:
+            # VAR prediction of the current residual from the loop's own
+            # history: x[k] = a[k] + B u[k-1] with a following the fitted
+            # VAR on a[k-j] = x[k-j] - B u[k-j-1].  NOTE: the MPC nulls
+            # the predictable part by design, so x_pred ~ 0 in lock; the
+            # gate is a last-resort clamp for noise spikes, NOT a tracking
+            # mechanism (see track_gn_iters for that).
+            a1_prev = x_pre - models.prob.B @ u2
+            a2_prev = x_pre2 - models.prob.B @ u3
+            x_pred_now = (models.prob.A1 @ a1_prev
+                          + models.prob.A2 @ a2_prev
+                          + models.prob.B @ u1)
+            innov = x0 - x_pred_now
+            if cfg.mpc.innovation_gate is not None:
+                gate = cfg.mpc.innovation_gate
+                nrm = jnp.linalg.norm(innov)
+                innov = innov * jnp.minimum(1.0, gate / (nrm + 1e-12))
+            fused = x_pred_now + cfg.mpc.est_gain * innov
+            # no history on the first var_order+1 steps: use the raw
+            # estimate (after a warm start the residual is small and the
+            # estimator is in capture there)
+            x0 = jnp.where(idx <= cfg.mpc.var_order, x0, fused)
 
         # -- QP assembly (README.md:483-501) --
         if cfg.mpc.cold_start == "hold":
@@ -232,7 +289,7 @@ def simulate(
             strehl=jnp.exp(-rms_res ** 2),
             strehl_exact=strehl_exact,
         )
-        return (u, u1, x0, phase_cor_new, eflow), out
+        return (u, u1, u2, x0, x_pre, phase_cor_new, eflow), out
 
     if init_u is not None:
         # acquisition warm start (MPCConfig.warm_start): pre-load the DM
@@ -247,6 +304,8 @@ def simulate(
     init = (
         u_init,
         jnp.zeros((nu_dim,), dtype=jnp.float32),
+        jnp.zeros((nu_dim,), dtype=jnp.float32),
+        jnp.zeros((nx,), dtype=jnp.float32),
         jnp.zeros((nx,), dtype=jnp.float32),
         pc_init,
         edge_state,

@@ -59,6 +59,12 @@ class EstimatorModel:
     # kernel (angle-addition identity; ops/pallas_kernels.py).
     div_cos: jnp.ndarray | None = None
     div_sin: jnp.ndarray | None = None
+    # MAP regularizer sigma^2 C_prior^-1 (nx, nx) when the mmse prior is
+    # configured; estimate_full_gn then solves the MAP normal equations
+    # so Gauss-Newton refinement keeps the same high-order shrinkage as
+    # the linear MMSE estimate (unregularized GN re-amplifies exactly the
+    # weakly-sensed modes the prior suppresses).
+    map_reg: jnp.ndarray | None = None
 
     @property
     def n_pixels(self) -> int:
@@ -158,7 +164,8 @@ def linearize_at(model: EstimatorModel, phase: jnp.ndarray,
 
 def estimate_full_gn(model: EstimatorModel, y: jnp.ndarray,
                      mode_stack: jnp.ndarray, n_iters: int,
-                     damping: float = 1e-3) -> jnp.ndarray:
+                     damping: float = 1e-3,
+                     x_init: jnp.ndarray | None = None) -> jnp.ndarray:
     """Full Gauss-Newton with per-iterate re-linearized Jacobian.
 
     The reference estimator (README.md:478) and estimate_gauss_newton both
@@ -170,15 +177,32 @@ def estimate_full_gn(model: EstimatorModel, y: jnp.ndarray,
     iteration: nx partial-DFT column builds + one (nx, nx) solve --
     use for boot/acquisition phases, not the 200 Hz steady state.
     Single sample; vmap over batches.
+
+    ``x_init`` seeds the iteration (default: the linear cold estimate).
+    Seeding with a model PREDICTION (e.g. the closed loop's VAR one-step
+    prediction) turns this into a *tracking* estimator: the capture
+    requirement becomes |x - x_init| inside the local basin (~1 rad)
+    instead of |x| -- absolute aberration size no longer matters.
     """
-    x = estimate(model, y)
+    cold = x_init is None
+    x = estimate(model, y) if cold else x_init
+    x_mean = jnp.zeros_like(x) if cold else x_init
     lam = damping * jnp.trace(model.A_s.T @ model.A_s) / model.n_states
+    eye = jnp.eye(model.n_states, dtype=model.A_s.dtype)
+    # MAP normal equations when the mmse prior is configured (keeps the
+    # linear estimator's high-order shrinkage through the GN refinement).
+    # The prior mean is zero for a cold solve but the SEED for a tracking
+    # solve -- penalizing |x| instead of |x - x_init| would shrink a
+    # large-but-well-predicted aberration toward zero and destroy the
+    # tracking property.
+    reg = lam * eye if model.map_reg is None else model.map_reg + lam * eye
 
     def body(_, x):
         phase = jnp.einsum("k,kij->ij", x, mode_stack)
         y0, J = linearize_at(model, phase, mode_stack)
-        g = J.T @ (y - y0)
-        H = J.T @ J + lam * jnp.eye(model.n_states, dtype=J.dtype)
+        g = J.T @ (y - y0) - (model.map_reg @ (x - x_mean)
+                              if model.map_reg is not None else 0.0)
+        H = J.T @ J + reg
         return x + jax.scipy.linalg.solve(H, g, assume_a="pos")
 
     return jax.lax.fori_loop(0, n_iters, body, x)
@@ -272,6 +296,7 @@ def build(
         if cfg.tikhonov > 0.0:
             gram = gram + cfg.tikhonov * np.eye(gram.shape[0])
         solve_op = np.linalg.solve(gram, A64.T)            # (nx, p)
+        map_reg = None
     elif cfg.method == "mmse":
         if prior_cov is None:
             raise ValueError("estimator method 'mmse' needs prior_cov "
@@ -288,6 +313,8 @@ def build(
                    1e-9 * float(np.trace(G)) / G.shape[0])
         G = G + sig2 * np.eye(A64.shape[0])
         solve_op = np.linalg.solve(G, CA.T).T              # (nx, p)
+        map_reg = sig2 * np.linalg.inv(
+            C + 1e-12 * float(np.trace(C)) / C.shape[0] * np.eye(C.shape[0]))
     else:
         raise ValueError(f"unknown estimator method '{cfg.method}'")
 
@@ -307,4 +334,6 @@ def build(
                             dtype=jnp.float32),
         div_sin=jnp.asarray(np.sin(np.asarray(diversity_phases)),
                             dtype=jnp.float32),
+        map_reg=(None if map_reg is None
+                 else jnp.asarray(map_reg, dtype=dtype)),
     ))

@@ -209,6 +209,19 @@ class EstimatorConfig:
     # x <- x + S(y - f(x)) with the exact PSF model, widening the capture
     # range for strong-turbulence windows (see estimator.py).
     gauss_newton_iters: int = 1
+    # Tracking-estimator iterations: >=1 arms an in-loop recovery path --
+    # full re-linearized Gauss-Newton (estimator.estimate_full_gn) seeded
+    # by continuity (previous estimate + B du), taking over only when the
+    # base estimate stops explaining the measured PSFs (chi-square rule in
+    # closed_loop).  MEASURED NEGATIVE RESULT (R=128, D/r0=15-20, 500
+    # steps): the seeded-GN takeover converges to data-consistent but
+    # wrong speckle branches and keeps the loop out, whereas the shrunk
+    # MMSE estimator (prior_scale ~ 0.5/(D/r0)) self-recovers -- prefer
+    # prior shrinkage for strong turbulence; estimate_full_gn remains
+    # valuable for offline/acquisition (tracks |x| ~ 9 rad when seeded
+    # within ~0.5 rad).  Cost: ~n_states extra partial-DFT builds per
+    # iteration per step.
+    track_gn_iters: int = 0
 
     @property
     def n_diversities(self) -> int:
@@ -262,6 +275,22 @@ class MPCConfig:
     # per-step innovations stay inside the capture basin.  False = the
     # reference's cold start (zero DM).
     warm_start: bool = False
+    # Estimator-VAR fusion (framework extension; the reference feeds the
+    # raw estimate straight into the QP, README.md:483-488).  The loop
+    # predicts the current residual from its own state history through the
+    # identified VAR model (x_pred = A1(x1 - B u2) + A2(x2 - B u3) + B u1)
+    # and blends:  x0 = x_pred + est_gain * clamp(x_est - x_pred).
+    # A single out-of-capture PSF estimate (noise spike / strong-turbulence
+    # excursion) then cannot eject the loop: the VAR model flywheels
+    # through it and the estimator re-acquires once the residual re-enters
+    # its capture range.  est_gain=1 with innovation_gate=None is exactly
+    # the reference behavior (x0 = x_est).
+    est_gain: float = 1.0
+    # Norm clamp [rad] on the innovation (None = unbounded).  Set to a few
+    # times the expected per-step innovation (VAR prediction error +
+    # estimator noise); clamping is disabled on the first var_order+1
+    # steps where no state history exists.
+    innovation_gate: float | None = None
     # First-step x0_pre: the reference passes zeros (README.md:485-486),
     # which makes the near-double-integrator VAR(2) predict ~2x the state
     # on the cold start and can kick strong-turbulence windows out of the

@@ -135,3 +135,47 @@ def test_warm_start_command_bounded_and_cancels():
     B = np.asarray(system.dm_model.influence)
     resid = x_pred + B @ u0
     assert np.linalg.norm(resid) < 0.2 * np.linalg.norm(x_pred)
+
+
+def test_d_over_r0_15_closes_with_shrunk_prior():
+    """D/r0=15 -- past what round 1 called the physical limit (Strehl
+    ~0.37).  Root cause of the old wall: the MMSE prior at open-loop scale
+    (prior_scale=1) barely shrinks, chronic high-order estimation error
+    feeds the MPC and the loop injects aberration.  Residual-scale
+    shrinkage (prior_scale ~ 0.5/(D/r0), a low-gain-integrator trade of
+    bandwidth for noise rejection) holds the 500-step lock at D/r0 up to
+    20 (measured at R=128: Strehl 0.95/0.91/0.87 at 10/15/20)."""
+    cfg = reference_config(resolution=128)
+    cfg = cfg.replace(
+        zernike=dataclasses.replace(cfg.zernike, radial_order=10),
+        mpc=dataclasses.replace(cfg.mpc, warm_start=True, var_ridge=1e-2),
+        estimator=dataclasses.replace(cfg.estimator, method="mmse",
+                                      prior_scale=0.05),
+        sim=dataclasses.replace(cfg.sim, n_train=300, n_valid=50,
+                                n_test=60, d_over_r0=15.0))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    out = pipeline.run_closed_loop(system, cfg, jax.random.PRNGKey(1))
+    res = np.asarray(out.rms_res)
+    turb = np.asarray(out.rms_turb)
+    assert res.max() < 1.0
+    assert res[30:].mean() < 0.35 * turb[30:].mean()
+    assert np.asarray(out.strehl_exact)[30:].mean() > 0.85
+
+
+def test_estimator_fusion_defaults_are_noop():
+    """est_gain=1 + innovation_gate=None (defaults) must reproduce the
+    reference path bit-for-bit; an armed but never-triggered gate must
+    stay finite."""
+    from mpc_sensorlessao_tpu.models import closed_loop
+    cfg = _cfg()
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    out_ref = pipeline.run_closed_loop(system, cfg, jax.random.PRNGKey(1))
+    cfg_g = _cfg(est_gain=0.9, innovation_gate=5.0)
+    out_g = closed_loop.simulate(
+        system.loop, system.layers, cfg_g, jax.random.PRNGKey(1),
+        n_steps=cfg_g.sim.n_test,
+        start_step=cfg_g.sim.n_train + cfg_g.sim.n_valid)
+    assert np.isfinite(np.asarray(out_g.rms_res)).all()
+    # gated loop tracks the reference loop while estimates are plausible
+    assert np.abs(np.asarray(out_g.rms_res)
+                  - np.asarray(out_ref.rms_res)).max() < 0.5

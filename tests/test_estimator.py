@@ -146,3 +146,33 @@ def test_full_gauss_newton_extends_capture(model128):
     assert e_lin / nt > 0.25          # linear estimator is off the rails
     assert e_full / nt < 0.1          # full GN locks
     assert e_full < 0.35 * e_lin
+
+
+def test_full_gn_tracks_large_aberration_from_seed():
+    """estimate_full_gn seeded within ~0.3 rad tracks a multi-radian
+    aberration (capture depends on |x - x_init|, not |x|) -- the
+    acquisition/tracking property behind EstimatorConfig.track_gn_iters."""
+    import dataclasses
+    from mpc_sensorlessao_tpu.models import pipeline as pipeline_mod
+    from mpc_sensorlessao_tpu.utils.config import reference_config
+    cfg = reference_config(resolution=64)
+    cfg = cfg.replace(sim=dataclasses.replace(
+        cfg.sim, n_train=300, n_valid=50, d_over_r0=10.0))
+    system = pipeline_mod.build(cfg, jax.random.PRNGKey(0))
+    est = system.loop.est
+    stack = system.loop.state_stack
+    x_true = jnp.asarray(np.asarray(system.coeff_series)[290, 1:])
+    assert float(jnp.linalg.norm(x_true)) > 2.0   # far past linear capture
+    phase = jnp.einsum("k,kij->ij", x_true, stack)
+    y = estimator.measure(est, phase, None) + estimator.sample_noise(
+        est, jax.random.PRNGKey(5))
+    rng = np.random.default_rng(0)
+    dx = rng.normal(size=x_true.shape)
+    dx = dx / np.linalg.norm(dx) * 0.3
+    seed = x_true + jnp.asarray(dx, dtype=jnp.float32)
+    x_gn = estimator.estimate_full_gn(est, y, stack, 2, x_init=seed)
+    err = float(jnp.linalg.norm(x_gn - x_true))
+    assert err < 0.25, err
+    # the linear estimator is lost at this amplitude
+    err_lin = float(jnp.linalg.norm(estimator.estimate(est, y) - x_true))
+    assert err_lin > 3 * err
