@@ -51,11 +51,14 @@ def build(cfg: SystemConfig, key) -> System:
     if cfg.estimator.method == "mmse":
         # analytic Von Karman Zernike-coefficient covariance as the
         # residual-aberration prior (piston excluded; magnification scales
-        # coefficients linearly -> covariance by mag^2)
+        # coefficients linearly -> covariance by mag^2).  Spectral-domain
+        # quadrature (Noll formulation): exact and resolution-free, unlike
+        # the former grid-fit covariance which aliased above order ~8 at
+        # its 48-px grid.
         from ..ops import zernike_stats
-        C = zernike_stats.coefficient_covariance(
+        C = zernike_stats.covariance_analytic(
             cfg.atmosphere, cfg.telescope.diameter,
-            cfg.zernike.radial_order, resolution=min(48, R))
+            cfg.zernike.radial_order)
         prior_cov = (C[1:, 1:] * cfg.sim.magnification ** 2
                      * cfg.estimator.prior_scale ** 2)
     est = estimator.build(cfg.estimator, basis, prior_cov=prior_cov)

@@ -129,3 +129,45 @@ def validate(model: VARModel, series: jnp.ndarray):
     spread = jnp.max(BB, axis=0) - jnp.min(BB, axis=0)
     rrmse = rmse / spread
     return pred, rmse, rrmse
+
+
+def innovation_covariance(model: VARModel, series) -> "np.ndarray":
+    """(nx, nx) sample covariance of the one-step prediction residuals
+    over a series window (host-side diagnostics; float64)."""
+    import numpy as np
+    s = np.asarray(series, dtype=np.float64)
+    AA, BB = lag_matrix(s, model.order)
+    para = np.concatenate(
+        [np.asarray(model.A[j - 1], dtype=np.float64).T
+         for j in range(1, model.order + 1)], axis=0)
+    err = np.asarray(AA) @ para - np.asarray(BB)
+    return err.T @ err / err.shape[0]
+
+
+def power_spectrum(model: VARModel, sigma_w, freqs, fs: float):
+    """Two-sided PSD [state^2/Hz] of the VAR process at frequencies
+    ``freqs`` [Hz], sampled at ``fs``:  S(nu) = H Sigma_w H^H / fs with
+    H(nu) = (I - sum_j A_j e^{-i 2 pi nu j / fs})^{-1}.
+
+    Returns (len(freqs), nx) diagonal.  Host-side diagnostics: the
+    natural cross-check of the identified model against the analytic
+    frozen-flow temporal spectra (ops.zernike_stats.
+    temporal_spectrum_analytic) -- integral_{-fs/2}^{fs/2} S dnu equals
+    the modeled state variance.
+    """
+    import numpy as np
+    freqs = np.atleast_1d(np.asarray(freqs, dtype=np.float64))
+    Sw = np.asarray(sigma_w, dtype=np.float64)
+    nx = model.nx
+    A = [np.asarray(model.A[j], dtype=np.float64)
+         for j in range(model.order)]
+    out = np.empty((len(freqs), nx))
+    eye = np.eye(nx)
+    for i, nu in enumerate(freqs):
+        z = np.exp(-2j * np.pi * nu / fs)
+        M = eye.astype(complex).copy()
+        for j, Aj in enumerate(A, start=1):
+            M -= Aj * z ** j
+        H = np.linalg.inv(M)
+        out[i] = np.real(np.diag(H @ Sw @ H.conj().T)) / fs
+    return out

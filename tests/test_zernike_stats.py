@@ -53,3 +53,91 @@ def test_residual_variance_decreases_with_order():
     v4 = zernike_stats.total_residual_variance(ATM1, 1.0, 4, resolution=32)
     v6 = zernike_stats.total_residual_variance(ATM1, 1.0, 6, resolution=32)
     assert 0 < v6 < v4
+
+
+# ---------------- spectral-domain analytics (zernikeStats.m surface) -------
+
+ATM_KOL = AtmosphereConfig(r0=1.0, L0=1e6, fractional_r0=(1.0,),
+                           altitudes=(0.0,), wind_speeds=(5.0,),
+                           wind_directions=(0.0,))
+
+
+def test_noll_residual_variance_table():
+    """Delta_J for Kolmogorov (L0 -> inf) against Noll 1976 Table IV."""
+    noll = {1: 1.0299, 3: 0.134, 6: 0.0648, 10: 0.0401}
+    for j, ref in noll.items():
+        val = zernike_stats.residual_variance(j, ATM_KOL, 1.0)
+        assert abs(val - ref) / ref < 0.02, (j, val, ref)
+    # scaling (D/r0)^{5/3}
+    atm2 = AtmosphereConfig(r0=0.5, L0=1e6, fractional_r0=(1.0,),
+                            altitudes=(0.0,), wind_speeds=(5.0,),
+                            wind_directions=(0.0,))
+    r = (zernike_stats.residual_variance(3, atm2, 1.0)
+         / zernike_stats.residual_variance(3, ATM_KOL, 1.0))
+    assert abs(r - 2 ** (5.0 / 3.0)) < 0.02
+
+
+def test_analytic_covariance_matches_grid_fit():
+    """Spectral-domain covariance == grid-propagated covariance (the
+    pipeline's own fit operator) in the framework convention."""
+    Ca = zernike_stats.covariance_analytic(ATM1, 1.0, 4)
+    Cg = zernike_stats.coefficient_covariance(ATM1, 1.0, 4, resolution=48)
+    scale = np.abs(Ca[1:, 1:]).max()
+    assert np.abs(Ca - Cg)[1:, 1:].max() < 0.01 * scale
+    va = zernike_stats.variance_analytic(ATM1, 1.0, 4)
+    assert np.allclose(va, np.diag(Ca), rtol=1e-6)
+
+
+def test_temporal_spectrum_sum_rule_and_shape():
+    """integral S_j dnu = sigma_j^2 (Parseval) and low-pass shape."""
+    nu = np.linspace(0.0, 400.0, 1501)
+    S = zernike_stats.temporal_spectrum_analytic(nu, ATM1, 1.0, 3)
+    var = zernike_stats.variance_analytic(ATM1, 1.0, 3)
+    integ = 2.0 * np.trapezoid(S, nu, axis=0)
+    for k in range(1, 10):
+        assert abs(integ[k] - var[k]) / var[k] < 0.05, k
+    # spectra decay by orders of magnitude across the band
+    assert S[-1, 1] < 1e-4 * S[0, 1]
+
+
+def test_angular_covariance_limits_and_anisoplanatism():
+    atm = AtmosphereConfig(fractional_r0=(1.0,), altitudes=(5000.0,),
+                           wind_speeds=(5.0,), wind_directions=(0.0,))
+    C0 = zernike_stats.angular_covariance_analytic(atm, 1.0, 3, 0.0)
+    Cb = zernike_stats.covariance_analytic(atm, 1.0, 3)
+    assert np.abs(C0 - Cb).max() < 1e-5
+    a1 = zernike_stats.anisoplanatism_variance(atm, 1.0, 3, 5e-6)
+    a2 = zernike_stats.anisoplanatism_variance(atm, 1.0, 3, 5e-5)
+    assert 0 < a1 < a2
+    # ground layer: no anisoplanatism
+    ag = zernike_stats.anisoplanatism_variance(ATM1, 1.0, 3, 5e-5)
+    assert ag < 1e-6 * a2
+
+
+def test_var_spectrum_cross_checks_analytic():
+    """The identified VAR model's implied PSD agrees with the analytic
+    frozen-flow temporal spectrum where the power lives (low frequency),
+    and integrates to the sample variance -- the zernikeStats analytics
+    validating the pipeline's system ID (SURVEY.md L3)."""
+    import dataclasses
+    import jax
+    from mpc_sensorlessao_tpu.models import pipeline, var
+    from mpc_sensorlessao_tpu.utils.config import reference_config
+    cfg = reference_config(resolution=64)
+    cfg = cfg.replace(sim=dataclasses.replace(cfg.sim, n_train=1000,
+                                              n_valid=100))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    states = np.asarray(system.coeff_series)[:, 1:]
+    Sw = var.innovation_covariance(system.var_model, states[:1000])
+    S1 = var.power_spectrum(system.var_model, Sw, [1.0], 200.0)[0]
+    San = zernike_stats.temporal_spectrum_analytic(
+        [1.0], cfg.atmosphere, cfg.telescope.diameter,
+        cfg.zernike.radial_order)[0, 1:]
+    # tilt PSD at 1 Hz within a factor 3 (one-realization ID scatter)
+    assert 1.0 / 3.0 < S1[0] / San[0] < 3.0
+    # integrated VAR PSD == sample variance (Parseval through the model)
+    nuf = np.linspace(-100.0, 100.0, 2001)
+    vi = np.trapezoid(var.power_spectrum(system.var_model, Sw, nuf, 200.0),
+                      nuf, axis=0)
+    sample = states[:1000].var(axis=0)
+    assert 0.5 < vi[0] / sample[0] < 2.0
