@@ -99,3 +99,30 @@ def test_trajectory_matches_numpy_oracle(setup, solver):
     # control inputs match within f32-vs-f64 accumulated tolerance
     scale = np.abs(u_ref).max()
     np.testing.assert_allclose(u_jax, u_ref, atol=0.02 * scale)
+
+
+@pytest.mark.slow
+def test_reference_scale_trajectory_parity():
+    """Flagship-scale parity (BASELINE.md north star): the full 512-px
+    estimator grid (README.md:237), 50 closed-loop steps, residual-RMS
+    trajectory within 1% of the independent float64 NumPy oracle
+    (measured: ~2e-5 relative)."""
+    cfg = reference_config(resolution=512)
+    cfg = cfg.replace(sim=dataclasses.replace(
+        cfg.sim, n_train=300, n_valid=50, n_test=50))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    n_steps = 50
+    noise = np.zeros((n_steps, system.loop.est.n_pixels))
+    params = _oracle_params(cfg, system, "fastmpc")
+    u_ref, rms_ref = oracle_loop(
+        params, n_steps, noise, solver="fastmpc",
+        cold_start=cfg.mpc.cold_start,
+        gauss_newton_iters=cfg.estimator.gauss_newton_iters)
+    out = closed_loop.simulate(
+        system.loop, system.layers, cfg, jax.random.PRNGKey(9),
+        n_steps=n_steps, start_step=float(cfg.sim.n_train + cfg.sim.n_valid),
+        solver="fastmpc", noise_scale=0.0)
+    np.testing.assert_allclose(np.asarray(out.rms_res), rms_ref,
+                               rtol=0.01, atol=1e-4)
+    scale = np.abs(u_ref).max()
+    np.testing.assert_allclose(np.asarray(out.u), u_ref, atol=0.01 * scale)
