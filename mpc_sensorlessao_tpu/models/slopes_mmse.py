@@ -1,0 +1,216 @@
+"""Spatial MMSE wavefront reconstruction from Shack-Hartmann slopes.
+
+TPU-native equivalent of the reference's `slopesLinearMMSE.m` (469 LoC,
+SURVEY.md 2d): minimum-mean-square-error estimation of the pupil phase
+on the (nl+1)^2 corner lattice from 2 nl^2 slope measurements,
+
+    phi_hat = C_ox (C_xx + sigma^2 I)^{-1} s,
+
+with both covariance operators Toeplitz-block-Toeplitz (stationary
+turbulence statistics on regular lattices).  The reference stores the
+TBT generators and solves with MINRES whose matvec is an FFT embedding
+(slopesLinearMMSE.m:160-204, toeplitzBlockToeplitz.m:115-123); here the
+operator apply is `ops.toeplitz.matvec` -- ONE 2-D convolution per block
+that XLA lowers onto the MXU -- inside a jittable conjugate-gradient
+loop (`lax.while_loop`), batched over scenarios with `vmap`.
+
+Kernel construction (host-side numpy FFT, setup time -- the axon TPU
+backend has no FFT custom call, and this runs once):
+slopes are subaperture-averaged phase gradients, so in the frequency
+domain the slope filters are  i 2 pi f_x sinc(d f_x) sinc(d f_y)  (and
+y alike), giving (slopesLinearMMSE.m:289-341 `slopestoSlopesCovariance`)
+
+    S_xx = (2 pi f_x)^2 sinc^2(d f_x) sinc^2(d f_y) W(f)
+    S_xy = (2 pi)^2 f_x f_y sinc^2(d f_x) sinc^2(d f_y) W(f)
+
+and the phase(corner)-to-slope cross spectra carry a single sinc pair
+plus the half-subaperture offset phasor between the corner and lenslet-
+center lattices (slopesLinearMMSE.m:350-378 `phaseToSlopesCovariance`,
+the `0.5*d` phasor).  Kernels are sampled on the displacement lattice by
+an sf-times oversampled FFT exactly like the reference (NF/sf grid,
+slopesLinearMMSE.m:165-175,368-370).
+
+Units: slopes in [rad/m] (mean physical phase gradient); phase in [rad].
+`reconstruct` accepts the [rad/px] output of wfs.geometric_slopes with
+its grid pitch and converts.
+
+On-axis NGS case (guide star == science star); the off-axis/LGS
+generalization adds per-layer displacement phasors (same machinery,
+slopesLinearMMSE.m:380-410) and is intentionally out of scope here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops import toeplitz
+from ..utils import hostcompute
+from ..utils.config import AtmosphereConfig
+from ..ops import phase_stats
+
+
+@struct.dataclass
+class SlopesMMSE:
+    """Precomputed TBT covariance operators (device arrays)."""
+
+    cxx: toeplitz.TBTOperator      # <s_x s_x> on the nl^2 lattice
+    cyy: toeplitz.TBTOperator
+    cxy: toeplitz.TBTOperator
+    cox: toeplitz.TBTOperator      # <phi s_x>, (nl+1)^2 x nl^2
+    coy: toeplitz.TBTOperator
+    noise_var: jnp.ndarray         # per-slope noise variance [rad^2/m^2]
+    valid: jnp.ndarray             # (nl, nl) bool valid-lenslet map
+    n_lenslet: int = struct.field(pytree_node=False)
+
+    @property
+    def n_phase(self) -> int:
+        return (self.n_lenslet + 1) ** 2
+
+
+def _kernels(atm: AtmosphereConfig, d: float, n_lenslet: int,
+             nf: int = 512, sf: int = 4):
+    """Covariance kernels on the displacement lattices via oversampled
+    FFT quadrature (slopesLinearMMSE.m:289-341,350-378).
+
+    Returns (kxx, kyy, kxy) on the (2nl-1)^2 slope-displacement lattice
+    and (kox, koy) on the 2nl x 2nl corner-to-center lattice.
+    """
+    lf = sf / (2.0 * d)                       # frequency half-range
+    f1 = (np.arange(nf) - nf // 2) / (nf // 2) * lf
+    fx, fy = np.meshgrid(f1, f1)
+    ff = np.hypot(fx, fy)
+    W = phase_stats.spectrum(ff, atm)
+    delta = 2.0 * lf / nf
+    sinc = np.sinc(d * fx) * np.sinc(d * fy)  # np.sinc = sin(pi x)/(pi x)
+    two_pi = 2.0 * np.pi
+
+    def cov_of(spec):
+        # C(Delta) = int S(f) exp(i 2 pi f . Delta) df ~= ifft2 * N^2 d^2
+        # (quadrature weight delta^2 folded in); fftshift sandwich puts
+        # Delta = 0 at the center index
+        c = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(spec)))
+        return c * (delta * nf) ** 2
+
+    s_xx = (two_pi * fx) ** 2 * sinc ** 2 * W
+    s_yy = (two_pi * fy) ** 2 * sinc ** 2 * W
+    s_xy = (two_pi ** 2) * fx * fy * sinc ** 2 * W
+
+    # slope-slope: displacements (i, j) * d, i, j in [-(nl-1), nl-1]
+    b0 = nf // 2
+    bs = (np.arange(-(n_lenslet - 1), n_lenslet) * sf + b0)
+    cxx = np.real(cov_of(s_xx))[np.ix_(bs, bs)]
+    cyy = np.real(cov_of(s_yy))[np.ix_(bs, bs)]
+    cxy = np.real(cov_of(s_xy))[np.ix_(bs, bs)]
+
+    # corner-phase to slope: corner lattice sits -d/2 off the lenslet
+    # centers in both axes; the half-pixel lands on the oversampled
+    # lattice when sf is even (offset sf/2), the reference's 0.5*d phasor
+    assert sf % 2 == 0, "sf must be even (half-subaperture offset)"
+    phasor_off = sf // 2
+    # cross spectrum S_{phi,sx} = U conj(V) W with U = 1 (phase) and
+    # V = i 2 pi f_x sinc sinc (slope filter) -> the CONJUGATE flips the
+    # sign (validated against empirical screen covariances)
+    s_ox = (-1j * two_pi * fx) * np.sinc(d * fx) * np.sinc(d * fy) * W
+    s_oy = (-1j * two_pi * fy) * np.sinc(d * fx) * np.sinc(d * fy) * W
+    bo = (np.arange(-n_lenslet + 1, n_lenslet + 1) * sf - phasor_off + b0)
+    kox = np.real(cov_of(s_ox))[np.ix_(bo, bo)]
+    koy = np.real(cov_of(s_oy))[np.ix_(bo, bo)]
+    return cxx, cyy, cxy, kox, koy
+
+
+def build(atm: AtmosphereConfig, diameter: float, n_lenslet: int,
+          valid, noise_var: float, nf: int = 512, sf: int = 4,
+          mag: float = 1.0) -> SlopesMMSE:
+    """Build the reconstructor for an on-axis NGS.
+
+    ``valid``: (nl, nl) bool valid-lenslet map (wfs.SHModel.valid);
+    ``noise_var``: per-slope measurement noise variance [rad^2/m^2];
+    ``mag``: turbulence magnification (scales covariances by mag^2,
+    README.md:277-284 semantics).
+    """
+    d = diameter / n_lenslet
+    kxx, kyy, kxy, kox, koy = _kernels(atm, d, n_lenslet, nf, sf)
+    m2 = float(mag) ** 2
+    nl = n_lenslet
+    return hostcompute.to_default(SlopesMMSE(
+        cxx=toeplitz.build((nl, nl), (nl, nl), kxx * m2),
+        cyy=toeplitz.build((nl, nl), (nl, nl), kyy * m2),
+        cxy=toeplitz.build((nl, nl), (nl, nl), kxy * m2),
+        cox=toeplitz.build((nl + 1, nl), (nl + 1, nl), kox * m2),
+        coy=toeplitz.build((nl + 1, nl), (nl + 1, nl), koy * m2),
+        noise_var=jnp.asarray(noise_var, dtype=jnp.float32),
+        valid=jnp.asarray(np.asarray(valid, dtype=bool)),
+        n_lenslet=nl,
+    ))
+
+
+def _apply_cxx(model: SlopesMMSE, v: jnp.ndarray) -> jnp.ndarray:
+    """(C_xx + sigma^2 I) v on the masked full lattice, v = (2 nl^2,).
+
+    Invalid-lenslet entries are zeroed in and out (the reference's
+    mtimes4squareBlocks validLenslet masking) with the noise diagonal
+    keeping those rows trivially invertible.
+    """
+    m = model.valid.reshape(-1).astype(v.dtype)
+    mask2 = jnp.concatenate([m, m])
+    v = v * mask2
+    sx, sy = jnp.split(v, 2, axis=-1)
+    yx = toeplitz.matvec(model.cxx, sx) + toeplitz.matvec(model.cxy, sy)
+    yy = (toeplitz.matvec(toeplitz.transpose(model.cxy), sx)
+          + toeplitz.matvec(model.cyy, sy))
+    out = jnp.concatenate([yx, yy]) * mask2
+    return out + model.noise_var * v + (1.0 - mask2) * v
+
+
+def _cg(matvec, b, tol: float, maxit: int):
+    """Plain conjugate gradient as a lax.while_loop (SPD system; the
+    reference uses MINRES at RTOL=5e-2 -- slopesLinearMMSE.m:105-107)."""
+    b2 = jnp.sum(b * b)
+
+    def cond(state):
+        _, r, _, rs, it = state
+        return jnp.logical_and(it < maxit, rs > tol ** 2 * b2)
+
+    def body(state):
+        x, r, p, rs, it = state
+        Ap = matvec(p)
+        alpha = rs / (jnp.sum(p * Ap) + 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.sum(r * r)
+        p = r + (rs_new / (rs + 1e-30)) * p
+        return (x, r, p, rs_new, it + 1)
+
+    x0 = jnp.zeros_like(b)
+    state = (x0, b, b, b2, jnp.asarray(0))
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return x
+
+
+@partial(jax.jit, static_argnames=("tol", "maxit"))
+def reconstruct(model: SlopesMMSE, slopes: jnp.ndarray, pitch: float,
+                tol: float = 5e-2, maxit: int = 100) -> jnp.ndarray:
+    """Slopes -> (nl+1, nl+1) phase map [rad].
+
+    ``slopes``: (2 n_valid,) [rad/px] from wfs.geometric_slopes (x block
+    then y block); ``pitch``: phase-grid pixel pitch [m] (converts to
+    rad/m).  Single measurement; vmap over batches.
+    """
+    nl = model.n_lenslet
+    vmask = model.valid.reshape(-1)
+    n_valid = slopes.shape[-1] // 2
+    sel = jnp.nonzero(vmask, size=n_valid)[0]
+    full = jnp.zeros((2, nl * nl), dtype=slopes.dtype)
+    full = full.at[0, sel].set(slopes[:n_valid] / pitch)
+    full = full.at[1, sel].set(slopes[n_valid:] / pitch)
+    c = full.reshape(-1)
+
+    y = _cg(lambda v: _apply_cxx(model, v), c, tol, maxit)
+    yx, yy = jnp.split(y, 2, axis=-1)
+    phi = toeplitz.matvec(model.cox, yx) + toeplitz.matvec(model.coy, yy)
+    return phi.reshape(nl + 1, nl + 1)

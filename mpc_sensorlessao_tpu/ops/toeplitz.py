@@ -30,19 +30,22 @@ diagonals.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 
-class TBTOperator(NamedTuple):
-    """gen: (nBr+nBc-1, nR+nC-1) generator (device); shapes static."""
+@struct.dataclass
+class TBTOperator:
+    """gen: (nBr+nBc-1, nR+nC-1) generator (device); shapes static
+    (pytree metadata, so the operator can cross jit boundaries)."""
 
     gen: jnp.ndarray
-    n_block: Tuple[int, int]      # (nBr, nBc)
-    n_inner: Tuple[int, int]      # (nR, nC)
+    n_block: Tuple[int, int] = struct.field(pytree_node=False)
+    n_inner: Tuple[int, int] = struct.field(pytree_node=False)
 
     @property
     def shape(self) -> Tuple[int, int]:

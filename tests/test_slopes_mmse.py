@@ -1,0 +1,124 @@
+"""Spatial slopes-MMSE reconstructor (slopesLinearMMSE.m capability)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpc_sensorlessao_tpu.models import slopes_mmse, wfs
+from mpc_sensorlessao_tpu.ops import phase_screens, toeplitz
+from mpc_sensorlessao_tpu.utils.config import AtmosphereConfig, TelescopeConfig
+
+ATM = AtmosphereConfig(fractional_r0=(1.0,), altitudes=(0.0,),
+                       wind_speeds=(5.0,), wind_directions=(0.0,))
+R, NL = 80, 10
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tel = TelescopeConfig(resolution=R)
+    sh = wfs.build(R, n_lenslet=NL)
+    return tel, sh
+
+
+def test_kernels_match_empirical_covariances(setup):
+    """TBT covariance generators vs empirical square-aperture block-slope
+    covariances over synthesized Von Karman screens."""
+    tel, _ = setup
+    pitch = tel.pixel_pitch
+    sub = R // NL
+    model = slopes_mmse.build(ATM, tel.diameter, NL,
+                              np.ones((NL, NL), bool), noise_var=0.0)
+    S = 200
+    sl = np.zeros((S, 2 * NL * NL))
+    ph = np.zeros((S, (NL + 1) ** 2))
+    idx = np.clip(np.arange(NL + 1) * sub, 0, R - 1)
+    for s in range(S):
+        scr = np.asarray(phase_screens.synthesize_screen(
+            s, ATM, R, pitch))[:R, :R].astype(np.float64)
+        gx = np.gradient(scr, pitch, axis=1)
+        gy = np.gradient(scr, pitch, axis=0)
+        sl[s] = np.concatenate([
+            gx.reshape(NL, sub, NL, sub).mean((1, 3)).ravel(),
+            gy.reshape(NL, sub, NL, sub).mean((1, 3)).ravel()])
+        ph[s] = scr[np.ix_(idx, idx)].ravel()
+    sl -= sl.mean(0)
+    ph -= ph.mean(0)
+    n2 = NL * NL
+    Cxx_emp = sl.T @ sl / S
+    Cox_emp = ph.T @ sl / S
+
+    def corr(a, b):
+        return np.corrcoef(a.ravel(), b.ravel())[0, 1]
+
+    assert corr(Cxx_emp[:n2, :n2], toeplitz.full(model.cxx)) > 0.9
+    assert corr(Cxx_emp[n2:, n2:], toeplitz.full(model.cyy)) > 0.9
+    assert corr(Cox_emp[:, :n2], toeplitz.full(model.cox)) > 0.7
+    assert corr(Cox_emp[:, n2:], toeplitz.full(model.coy)) > 0.7
+    # variance scale within sample scatter
+    r = np.diag(Cxx_emp[:n2, :n2]).mean() / np.diag(
+        toeplitz.full(model.cxx)).mean()
+    assert 0.7 < r < 1.3, r
+
+
+def _zonal_ls(sh):
+    """Naive zonal LS baseline: pinv of the corner-bump interaction."""
+    sub = R // NL
+    idx = np.clip(np.arange(NL + 1) * sub, 0, R - 1)
+    n_c = (NL + 1) ** 2
+    D = np.zeros((sh.n_slopes, n_c))
+    yy, xx = np.meshgrid(np.arange(R), np.arange(R), indexing="ij")
+    for c in range(n_c):
+        ci, cj = divmod(c, NL + 1)
+        t = (np.maximum(0, 1 - np.abs(yy - idx[ci]) / sub)
+             * np.maximum(0, 1 - np.abs(xx - idx[cj]) / sub))
+        D[:, c] = np.asarray(wfs.geometric_slopes(
+            sh, jnp.asarray(t, dtype=jnp.float32)))
+    return np.linalg.pinv(D, rcond=1e-3), idx
+
+
+def test_mmse_beats_zonal_ls_under_noise(setup):
+    """The VERDICT 'done' criterion: spatial MMSE reconstruction beats
+    the zonal LS reconstructor under measurement noise (measured ~5x)."""
+    tel, sh = setup
+    pitch = tel.pixel_pitch
+    Rls, idx = _zonal_ls(sh)
+    sigma_px = 0.05
+    model = slopes_mmse.build(ATM, tel.diameter, NL, sh.valid,
+                              noise_var=(sigma_px / pitch) ** 2)
+    rng = np.random.default_rng(1)
+    pm = (np.hypot(*np.meshgrid(np.arange(NL + 1) - NL / 2,
+                                np.arange(NL + 1) - NL / 2))
+          <= NL / 2 + 0.5).ravel()
+    errs = {"mmse": [], "ls": []}
+    for s in range(8):
+        scr = np.asarray(phase_screens.synthesize_screen(
+            1000 + s, ATM, R, pitch))[:R, :R].astype(np.float64)
+        scr -= scr.mean()
+        truth = scr[np.ix_(idx, idx)].ravel()
+        noisy = (np.asarray(wfs.geometric_slopes(
+            sh, jnp.asarray(scr, dtype=jnp.float32)))
+            + rng.normal(0, sigma_px, 2 * sh.n_valid))
+        phi = np.asarray(slopes_mmse.reconstruct(
+            model, jnp.asarray(noisy, dtype=jnp.float32), pitch)).ravel()
+        phi_ls = Rls @ noisy
+        for name, est in (("mmse", phi), ("ls", phi_ls)):
+            e = est[pm] - truth[pm]
+            e -= e.mean()
+            errs[name].append(np.sqrt((e ** 2).mean()))
+        if s == 0:
+            turb = truth[pm].std()
+    mmse, ls = np.mean(errs["mmse"]), np.mean(errs["ls"])
+    assert mmse < 0.5 * ls, (mmse, ls)
+    assert mmse < 0.35 * turb, (mmse, turb)   # useful single-frame rec.
+
+
+def test_reconstruct_is_jit_batched(setup):
+    tel, sh = setup
+    model = slopes_mmse.build(ATM, tel.diameter, NL, sh.valid,
+                              noise_var=1.0)
+    batch = jnp.zeros((3, 2 * sh.n_valid))
+    out = jax.vmap(lambda s: slopes_mmse.reconstruct(
+        model, s, tel.pixel_pitch))(batch)
+    assert out.shape == (3, NL + 1, NL + 1)
+    assert np.isfinite(np.asarray(out)).all()
