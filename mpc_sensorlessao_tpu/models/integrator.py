@@ -96,7 +96,8 @@ class IntegratorConfig(NamedTuple):
 
 def closed_loop(sense_op: jnp.ndarray, command: CalibrationVault | jnp.ndarray,
                 mode_stack_flat: jnp.ndarray, turb_modes: jnp.ndarray,
-                cfg: IntegratorConfig = IntegratorConfig()):
+                cfg: IntegratorConfig = IntegratorConfig(),
+                mask_flat: jnp.ndarray | None = None):
     """Run the delayed leaky integrator over a turbulence sequence.
 
     Args:
@@ -110,7 +111,9 @@ def closed_loop(sense_op: jnp.ndarray, command: CalibrationVault | jnp.ndarray,
 
     Returns:
       (c_acc, res_rms): (T, K) command history and (T,) residual-phase
-      RMS over the sensed pixels.
+      RMS over the sensed pixels (or over ``mask_flat`` when given --
+      pass the pupil mask to make the RMS comparable to pupil-only
+      telemetry like closed_loop.StepOutputs.rms_res).
 
     The scan carry is (c, slope ring buffer); update law
     controller.m:305-308 with the sign convention phi_res = phi_turb -
@@ -134,6 +137,12 @@ def closed_loop(sense_op: jnp.ndarray, command: CalibrationVault | jnp.ndarray,
     # est_corr = (M sense_op modes') c.
     MS = M @ sense_op                                   # (K, P)
     MSB = MS @ mode_stack_flat.T                        # (K, K)
+    if mask_flat is None:
+        w_rms = jnp.full((mode_stack_flat.shape[1],),
+                         1.0 / mode_stack_flat.shape[1], dtype=jnp.float32)
+    else:
+        m = mask_flat.astype(jnp.float32)
+        w_rms = m / jnp.sum(m)
 
     def step(carry, phi_t):
         c, ring = carry
@@ -151,7 +160,7 @@ def closed_loop(sense_op: jnp.ndarray, command: CalibrationVault | jnp.ndarray,
         # latency like the reference controller; cfg.delay counts
         # EXTRA frames on top of that
         res = phi_t - mode_stack_flat.T @ c
-        rms = jnp.sqrt(jnp.mean(res * res))
+        rms = jnp.sqrt(jnp.sum(w_rms * res * res))
         return (c_new, ring), (c_new, rms)
 
     c0 = jnp.zeros((K,), dtype=jnp.float32)

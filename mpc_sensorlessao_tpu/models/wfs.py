@@ -144,6 +144,19 @@ def diffractive_slopes(model: SHModel, phase: jnp.ndarray) -> jnp.ndarray:
     to mean-gradient units [rad/px] so the output is directly comparable
     to geometric_slopes.  Single phase map; vmap over batches.
     """
+    inten = spot_frames(model, phase)                  # (nl^2, w, w)
+    cx, cy = _centroid(inten, quad_cell=False)
+    vmask = jnp.asarray(model.valid.ravel())
+    sel = jnp.nonzero(vmask, size=int(model.valid.sum()))[0]
+    # centroid bin -> gradient: one bin = 2 pi / (2 sub) rad/px
+    scale = jnp.pi / model.sub_px
+    return jnp.concatenate([cx[sel], cy[sel]]) * scale
+
+
+def spot_frames(model: SHModel, phase: jnp.ndarray) -> jnp.ndarray:
+    """Per-subaperture diffraction spot intensities (nl^2, w, w) --
+    the lensletArray imagelets surface (lensletArray.m:1-437), Nyquist
+    sampled via 2x zero-padding (see diffractive_slopes)."""
     R = phase.shape[-1]
     sub = model.sub_px
     nl = R // sub
@@ -153,17 +166,85 @@ def diffractive_slopes(model: SHModel, phase: jnp.ndarray) -> jnp.ndarray:
     pad = sub // 2
     tiles = jnp.pad(tiles, ((0, 0), (pad, pad), (pad, pad)))
     spots = dft.partial_centered_fft2(tiles, model.dft_op)
-    inten = spots.real ** 2 + spots.imag ** 2          # (nl^2, w, w)
+    return spots.real ** 2 + spots.imag ** 2
+
+
+def _centroid(inten: jnp.ndarray, quad_cell: bool):
+    """Intensity (N, w, w) -> (cx, cy) in pixels (centroiding) or
+    normalized quadrant imbalance (quad-cell), shackHartmann.m:515-566."""
     w = inten.shape[-1]
-    ax = jnp.arange(w, dtype=inten.dtype) - (w - 1) / 2.0
     tot = jnp.sum(inten, axis=(-2, -1)) + 1e-20
-    cx = jnp.sum(inten * ax[None, None, :], axis=(-2, -1)) / tot
-    cy = jnp.sum(inten * ax[None, :, None], axis=(-2, -1)) / tot
+    if quad_cell:
+        ax = jnp.sign(jnp.arange(w, dtype=inten.dtype) - (w - 1) / 2.0)
+        cx = jnp.sum(inten * ax[None, None, :], axis=(-2, -1)) / tot
+        cy = jnp.sum(inten * ax[None, :, None], axis=(-2, -1)) / tot
+    else:
+        ax = jnp.arange(w, dtype=inten.dtype) - (w - 1) / 2.0
+        cx = jnp.sum(inten * ax[None, None, :], axis=(-2, -1)) / tot
+        cy = jnp.sum(inten * ax[None, :, None], axis=(-2, -1)) / tot
+    return cx, cy
+
+
+def camera_slopes(model: SHModel, phase: jnp.ndarray, key,
+                  detector=None, n_photons: float = 0.0,
+                  threshold=None, quad_cell: bool = False,
+                  ref_slopes: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Full SH camera chain: spots -> detector noise -> thresholding ->
+    centroiding -> slopes [rad/px].
+
+    The shackHartmann.m dataProcessing pipeline (:480-566) routed
+    through the detector noise model (models/imaging.py):
+
+    * ``detector``: imaging.DetectorConfig applied per spot frame
+      (photon noise -> QE -> readout, detector.m:292-330); None = ideal.
+    * ``n_photons``: mean photons per VALID subaperture (scales the
+      intensity before the noise chain); 0 keeps raw intensity units.
+    * ``threshold``: None | scalar t | (t_abs, t_rel).  Scalar subtracts
+      t and clamps at 0 (the 'usual thresholding',
+      shackHartmann.m:504-507); a pair uses per-subaperture
+      max(frame)*t_rel floored at t_abs (intensity-based thresholding,
+      shackHartmann.m:493-503).
+    * ``quad_cell``: quadrant imbalance instead of center-of-mass
+      (shackHartmann.m:123-124,515-527); calibrate its gain externally.
+    * ``ref_slopes``: subtracted reference (flat-wavefront) slopes
+      (shackHartmann.m referenceSlopes semantics); None = 0.
+
+    Single phase map; vmap over batches (split keys per scenario).
+    """
+    from . import imaging
+
+    inten = spot_frames(model, phase)
     vmask = jnp.asarray(model.valid.ravel())
     sel = jnp.nonzero(vmask, size=int(model.valid.sum()))[0]
-    # centroid bin -> gradient: one bin = 2 pi / (2 sub) rad/px
-    scale = jnp.pi / sub
-    return jnp.concatenate([cx[sel], cy[sel]]) * scale
+    if n_photons > 0.0:
+        mean_flux = jnp.mean(jnp.sum(inten, axis=(-2, -1))[sel])
+        inten = inten * (n_photons / (mean_flux + 1e-20))
+    if detector is not None:
+        inten = imaging.read_out(detector, key, inten)
+    if threshold is not None:
+        if np.ndim(threshold) == 0:
+            t = jnp.asarray(threshold, dtype=inten.dtype)
+        else:
+            t_abs, t_rel = threshold
+            t = jnp.maximum(
+                jnp.max(inten, axis=(-2, -1), keepdims=True) * t_rel,
+                t_abs)
+        inten = jnp.maximum(inten - t, 0.0)
+    cx, cy = _centroid(inten, quad_cell)
+    sub = model.sub_px
+    scale = jnp.pi / sub          # centroid bin -> mean gradient [rad/px]
+    s = jnp.concatenate([cx[sel], cy[sel]]) * scale
+    if ref_slopes is not None:
+        s = s - ref_slopes
+    return s
+
+
+def reference_slopes(model: SHModel, quad_cell: bool = False) -> jnp.ndarray:
+    """Flat-wavefront slopes for the camera chain (noise-free,
+    threshold-free): the calibration zero point."""
+    zero = jnp.zeros_like(model.pupil)
+    return camera_slopes(model, zero, jax.random.PRNGKey(0),
+                         quad_cell=quad_cell)
 
 
 def interaction_matrix(model: SHModel, mode_stack: jnp.ndarray,
