@@ -6,10 +6,11 @@ the runtime exposes (run with JAX_PLATFORMS=cpu
 XLA_FLAGS=--xla_force_host_platform_device_count=8 for the virtual mesh;
 on a pod slice it uses the real chips unchanged).
 
-Usage: python benchmarks/scaling.py [scenarios_per_device] [steps]
+Usage: python benchmarks/scaling.py [scenarios_per_device] [steps] [out.json]
 """
 
 import dataclasses
+import json
 import sys
 import time
 
@@ -25,6 +26,7 @@ from mpc_sensorlessao_tpu.utils.config import reference_config   # noqa: E402
 def main():
     per_dev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    out_path = sys.argv[3] if len(sys.argv) > 3 else None
     cfg = reference_config(resolution=64)
     cfg = cfg.replace(sim=dataclasses.replace(
         cfg.sim, n_train=300, n_valid=50, n_test=steps))
@@ -49,6 +51,19 @@ def main():
         eff = rate / (results[1] * nd) if 1 in results and nd > 1 else 1.0
         print(f"devices={nd:2d} scenarios={per_dev*nd:4d}: "
               f"{rate:,.0f} solves/s  efficiency={eff*100:.0f}%")
+    if out_path:
+        report = {
+            "platform": jax.devices()[0].platform,
+            "n_devices": n_devices,
+            "scenarios_per_device": per_dev,
+            "steps": steps,
+            "solves_per_s": {str(k): round(v, 1) for k, v in results.items()},
+            "efficiency": {str(k): round(v / (results[1] * k), 4)
+                           for k, v in results.items()},
+        }
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":

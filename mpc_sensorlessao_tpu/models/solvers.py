@@ -232,39 +232,101 @@ def unpack_controls(z: jnp.ndarray, n: int, m: int, horizon: int):
 # ADMM on the condensed box+ramp QP (CVX-equivalent backend)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("n_iter",))
+class ADMMInfo(NamedTuple):
+    """Convergence telemetry (rms over constraint rows).
+
+    primal_rms: rms of [U - z1; EU - z2] (constraint violation of the
+                consensus split);
+    dual_rms:   rms of rho [z1 - z1_prev; E'(z2 - z2_prev)] (stationarity);
+    converged:  both below tol (False when tol is None -- nothing was
+                requested, nothing is claimed).
+    """
+
+    primal_rms: jnp.ndarray
+    dual_rms: jnp.ndarray
+    rho: jnp.ndarray
+    converged: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("n_iter", "rho", "tol", "adapt_rounds",
+                                   "return_info"))
 def admm_condensed(mats: MPCMatrices, r, U_min, U_max, dU_min, dU_max,
                    rho: float | None = None,
-                   n_iter: int = 400) -> jnp.ndarray:
+                   n_iter: int = 400,
+                   tol: float | None = None,
+                   adapt_rounds: int = 0,
+                   return_info: bool = False):
     """min U'HU + r'U  s.t. U_min<=U<=U_max, dU_min<=E U<=dU_max
-    (the CVX problem, README.md:512-518), via fixed-iteration two-block
-    ADMM with precomputed factorization.  Batched over leading dims of
-    r/U_min/... via vmap if needed (operators are shared).
+    (the CVX problem, README.md:512-518), via two-block ADMM with a
+    precomputed factorization.  Batched over leading dims of r/U_min/...
+    via vmap if needed (operators are shared).
 
     ``rho`` defaults to the mean curvature scale trace(2H)/Z so the dual
-    updates are conditioned against the reference's Q~1.5e4 weights."""
+    updates are conditioned against the reference's Q~1.5e4 weights.
+    ``adapt_rounds`` > 0 splits the budget into rounds with residual-
+    balancing rho updates between them (rho *= sqrt(primal/dual); each
+    round refactors once -- adaptive rho with a per-iteration
+    factorization would defeat the precomputed Cholesky).
+    ``return_info=True`` additionally returns :class:`ADMMInfo`, so a
+    user sweeping Q/R scales can SEE non-convergence instead of silently
+    consuming a half-converged iterate; with ``tol`` set, converged =
+    primal_rms < tol and dual_rms < tol."""
     E = mats.E
     Z = mats.H.shape[0]
     if rho is None:
         rho = jnp.trace(2.0 * mats.H) / Z
-    M = 2.0 * mats.H + rho * (jnp.eye(Z, dtype=mats.H.dtype) + E.T @ E)
-    chol = jax.scipy.linalg.cho_factor(M, lower=True)
+    rho = jnp.asarray(rho, dtype=mats.H.dtype)
 
-    def body(_, carry):
-        U, z1, z2, y1, y2 = carry
-        rhs = -r + rho * (z1 - y1) + E.T @ (rho * (z2 - y2))
-        U = jax.scipy.linalg.cho_solve(chol, rhs)
-        EU = U @ E.T
-        z1 = jnp.clip(U + y1, U_min, U_max)
-        z2 = jnp.clip(EU + y2, dU_min, dU_max)
-        y1 = y1 + U - z1
-        y2 = y2 + EU - z2
-        return U, z1, z2, y1, y2
+    def run(rho, init, n):
+        M = 2.0 * mats.H + rho * (jnp.eye(Z, dtype=mats.H.dtype)
+                                  + E.T @ E)
+        chol = jax.scipy.linalg.cho_factor(M, lower=True)
+
+        def body(_, carry):
+            U, z1, z2, y1, y2, _, _ = carry
+            rhs = -r + rho * (z1 - y1) + E.T @ (rho * (z2 - y2))
+            U = jax.scipy.linalg.cho_solve(chol, rhs)
+            EU = U @ E.T
+            z1n = jnp.clip(U + y1, U_min, U_max)
+            z2n = jnp.clip(EU + y2, dU_min, dU_max)
+            y1 = y1 + U - z1n
+            y2 = y2 + EU - z2n
+            rp = jnp.sqrt((jnp.sum((U - z1n) ** 2)
+                           + jnp.sum((EU - z2n) ** 2)) / (2 * Z))
+            rd = rho * jnp.sqrt(
+                (jnp.sum((z1n - z1) ** 2)
+                 + jnp.sum(((z2n - z2) @ E) ** 2)) / (2 * Z))
+            return U, z1n, z2n, y1, y2, rp, rd
+
+        return jax.lax.fori_loop(0, n, body, init)
 
     U0 = jnp.zeros_like(r)
-    init = (U0, U0, U0 @ E.T, U0, U0 @ E.T)
-    U, *_ = jax.lax.fori_loop(0, n_iter, body, init)
-    return U
+    zero = jnp.asarray(0.0, dtype=mats.H.dtype)
+    state = (U0, U0, U0 @ E.T, U0, U0 @ E.T, zero, zero)
+    rounds = max(1, adapt_rounds + 1)
+    per = max(1, n_iter // rounds)
+    for k in range(rounds):
+        state = run(rho, state, per)
+        if k < rounds - 1:
+            rp, rd = state[-2], state[-1]
+            # residual balancing (Boyd et al. 2011 sect. 3.4.1); the
+            # scaled duals y = lambda/rho must be rescaled with rho
+            ratio = jnp.sqrt((rp + 1e-12) / (rd + 1e-12))
+            scale = jnp.clip(ratio, 0.1, 10.0)
+            rho_new = rho * scale
+            U, z1, z2, y1, y2, rp, rd = state
+            state = (U, z1, z2, y1 * rho / rho_new, y2 * rho / rho_new,
+                     rp, rd)
+            rho = rho_new
+    U, _, _, _, _, rp, rd = state
+    if not return_info:
+        return U
+    if tol is None:
+        converged = jnp.asarray(False)
+    else:
+        converged = jnp.logical_and(rp < tol, rd < tol)
+    return U, ADMMInfo(primal_rms=rp, dual_rms=rd, rho=rho,
+                       converged=converged)
 
 
 # ---------------------------------------------------------------------------

@@ -126,9 +126,16 @@ def psf_crop_diversity(phase, pupil, div_cos, div_sin, dft_op,
     B, R, _ = phase.shape
     n_div = div_cos.shape[0]
     w = dft_op.shape[1]
-    # chunking amortizes ~2(n_div+1)R^2 floats of constants per program;
-    # bound the chunk so phases + constants stay well inside ~16MB VMEM
-    budget = 6 * 1024 * 1024 // (R * R * 4)
+    # VMEM budget: the scenario block is DOUBLE-buffered across grid
+    # steps (2 chunk R^2 floats); constants (pupil + 2 n_div diversity
+    # maps + DFT operators) are single-buffered; ~2.7 R^2 floats of
+    # kernel scratch (cos/sin, F, S1, G -- measured from the compiler's
+    # scoped-vmem report).  Keep the total inside the 16MB scoped limit.
+    # Chunk size itself is perf-NEUTRAL (measured 27.8 vs 28.3 us/scen at
+    # R=512 chunk 2 vs 1 on v5e) -- this bound is purely about fitting.
+    itm = R * R * 4
+    const = (2 * n_div + 1) * itm + 4 * w * R * 4
+    budget = int((15.5 * 1024 * 1024 - const - 2.7 * itm) // (2 * itm))
     chunk = max(1, min(8, budget))
     while B % chunk:
         chunk -= 1

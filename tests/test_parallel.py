@@ -65,3 +65,31 @@ def test_sharded_monte_carlo_matches_local(tiny_system):
     local_strehl = float(np.mean(np.asarray(out.strehl)[:, settle:]))
     np.testing.assert_allclose(float(stats.mean_strehl), local_strehl,
                                rtol=1e-4)
+
+
+def test_multihost_global_scenario_assembly():
+    """multihost.global_scenarios assembles process-local ScenarioBatch
+    shards into a mesh-sharded global batch that run_sharded consumes
+    (single-process simulation: global == local, the assembly/sharding
+    path is identical)."""
+    import dataclasses
+    from mpc_sensorlessao_tpu.parallel import multihost
+    from mpc_sensorlessao_tpu.parallel.mesh import (SCENARIO_AXIS,
+                                                    scenario_mesh)
+
+    multihost.initialize(None)          # no-op bootstrap path
+    cfg = reference_config(resolution=32)
+    cfg = cfg.replace(sim=dataclasses.replace(
+        cfg.sim, n_train=120, n_valid=30, n_test=6))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    m = scenario_mesh()
+    n = 2 * m.devices.size
+    local = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(1), n)
+    gscen = multihost.global_scenarios(local, m)
+    # sharded over the scenario axis of the mesh
+    assert gscen.start_step.shape[0] == n * jax.process_count()
+    assert gscen.start_step.sharding.spec[0] == SCENARIO_AXIS
+    stats = montecarlo.run_sharded(system.loop, system.layers, cfg, gscen,
+                                   n_steps=6, mesh=m)
+    assert int(stats.n_scenarios) == n
+    assert np.isfinite(float(stats.mean_rms_res))

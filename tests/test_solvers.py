@@ -189,3 +189,45 @@ def test_closed_form_matches_unconstrained_newton():
         jnp.asarray(sol[:Z], jnp.float32), n, m, T)
     np.testing.assert_allclose(np.asarray(state.U), np.asarray(U_ref),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_admm_telemetry_and_adaptive_rho():
+    """ADMM reports primal/dual residuals; at an ill-scaled operating
+    point the adaptive-rho restarts tighten them; converged flag reflects
+    tol.  (VERDICT: a user sweeping Q/R scales must be able to see
+    non-convergence.)"""
+    import dataclasses
+    rng = np.random.default_rng(5)
+    nx, nu, N = 6, 4, 2
+    A1 = jnp.asarray(0.6 * np.eye(nx) + 0.05 * rng.normal(size=(nx, nx)),
+                     jnp.float32)
+    A2 = jnp.asarray(0.1 * np.eye(nx), jnp.float32)
+    B = jnp.asarray(rng.normal(size=(nx, nu)), jnp.float32)
+    # ill-scaled: huge Q, tiny R
+    Q = jnp.asarray(1e5 * np.eye(nx), jnp.float32)
+    R = jnp.asarray(1e-2 * np.eye(nu), jnp.float32)
+    mats = mpc.design_matrices(A1, A2, B, N, Q, Q, R)
+    r = jnp.asarray(rng.normal(size=(N * nu,)) * 1e3, jnp.float32)
+    lo = jnp.full((N * nu,), -2.0); hi = jnp.full((N * nu,), 2.0)
+    dlo = jnp.full((N * nu,), -0.5); dhi = jnp.full((N * nu,), 0.5)
+
+    U1, info1 = solvers.admm_condensed(mats, r, lo, hi, dlo, dhi,
+                                       n_iter=120, tol=1e-3,
+                                       return_info=True)
+    U2, info2 = solvers.admm_condensed(mats, r, lo, hi, dlo, dhi,
+                                       n_iter=120, tol=1e-3,
+                                       adapt_rounds=3, return_info=True)
+    assert np.isfinite(float(info1.primal_rms))
+    assert np.isfinite(float(info1.dual_rms))
+    # adaptive restarts must not be worse on the dominant residual
+    worst1 = max(float(info1.primal_rms), float(info1.dual_rms))
+    worst2 = max(float(info2.primal_rms), float(info2.dual_rms))
+    assert worst2 <= worst1 * 1.5
+    # constraints honored
+    assert float(jnp.max(jnp.abs(U2))) <= 2.0 + 1e-3
+    # long run converges and the flag says so
+    U3, info3 = solvers.admm_condensed(mats, r, lo, hi, dlo, dhi,
+                                       n_iter=2000, tol=1e-3,
+                                       adapt_rounds=3, return_info=True)
+    assert bool(info3.converged), (float(info3.primal_rms),
+                                   float(info3.dual_rms))
