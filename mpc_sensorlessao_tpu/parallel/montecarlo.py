@@ -38,7 +38,14 @@ class ScenarioBatch(NamedTuple):
 
 
 class MonteCarloStats(NamedTuple):
-    """psum-reduced aggregate statistics over all scenarios."""
+    """psum-reduced aggregate statistics over all scenarios.
+
+    Divergence containment (utils/guards.py's in-loop counterpart): a
+    scenario whose settled telemetry is non-finite or whose residual
+    exceeds ``DIVERGED_REJECTION_FLOOR`` x its own turbulence is counted
+    in ``n_diverged`` and EXCLUDED from the means -- one blown-up
+    scenario cannot poison a whole shard's psum the way a raw NaN mean
+    would."""
 
     mean_rms_res: jnp.ndarray     # settled mean residual RMS [rad]
     mean_rms_turb: jnp.ndarray
@@ -47,6 +54,12 @@ class MonteCarloStats(NamedTuple):
     max_rms_res: jnp.ndarray
     mean_cost: jnp.ndarray
     n_scenarios: jnp.ndarray
+    n_diverged: jnp.ndarray = None
+
+
+# a "settled" loop whose residual exceeds this multiple of the raw
+# turbulence is injecting aberration, not correcting it
+DIVERGED_REJECTION_FLOOR = 10.0
 
 
 def make_scenarios(
@@ -126,20 +139,31 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
         strehl = out.strehl[:, settle:]
         strehl_x = out.strehl_exact[:, settle:]
         cost = out.cost[:, settle:]
-        local_n = jnp.asarray(res.shape[0], dtype=jnp.float32)
+        res_m = jnp.mean(res, axis=1)
+        turb_m = jnp.mean(turb, axis=1)
+        # per-scenario divergence containment (see MonteCarloStats)
+        finite = jnp.isfinite(res_m) & jnp.isfinite(turb_m)
+        ok = finite & (jnp.nan_to_num(res_m, nan=jnp.inf)
+                       <= DIVERGED_REJECTION_FLOOR
+                       * jnp.nan_to_num(turb_m, nan=0.0))
+        okf = ok.astype(jnp.float32)
+
+        def safe_sum(x_m):
+            return jax.lax.psum(
+                jnp.sum(jnp.where(ok, jnp.nan_to_num(x_m), 0.0)),
+                SCENARIO_AXIS)
+
         stats = MonteCarloStats(
-            mean_rms_res=jax.lax.psum(jnp.sum(jnp.mean(res, axis=1)),
-                                      SCENARIO_AXIS),
-            mean_rms_turb=jax.lax.psum(jnp.sum(jnp.mean(turb, axis=1)),
-                                       SCENARIO_AXIS),
-            mean_strehl=jax.lax.psum(jnp.sum(jnp.mean(strehl, axis=1)),
-                                     SCENARIO_AXIS),
-            mean_strehl_exact=jax.lax.psum(
-                jnp.sum(jnp.mean(strehl_x, axis=1)), SCENARIO_AXIS),
-            max_rms_res=jax.lax.pmax(jnp.max(res), SCENARIO_AXIS),
-            mean_cost=jax.lax.psum(jnp.sum(jnp.mean(cost, axis=1)),
-                                   SCENARIO_AXIS),
-            n_scenarios=jax.lax.psum(local_n, SCENARIO_AXIS),
+            mean_rms_res=safe_sum(res_m),
+            mean_rms_turb=safe_sum(turb_m),
+            mean_strehl=safe_sum(jnp.mean(strehl, axis=1)),
+            mean_strehl_exact=safe_sum(jnp.mean(strehl_x, axis=1)),
+            max_rms_res=jax.lax.pmax(
+                jnp.max(jnp.where(ok, jnp.nan_to_num(res_m), 0.0)),
+                SCENARIO_AXIS),
+            mean_cost=safe_sum(jnp.mean(cost, axis=1)),
+            n_scenarios=jax.lax.psum(jnp.sum(okf), SCENARIO_AXIS),
+            n_diverged=jax.lax.psum(jnp.sum(1.0 - okf), SCENARIO_AXIS),
         )
         return stats
 
@@ -156,7 +180,7 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
     layers = jax.device_put(layers, NamedSharding(mesh, P()))
     scen = jax.device_put(scen, NamedSharding(mesh, P(SCENARIO_AXIS)))
     stats = jax.jit(sharded)(models, layers, scen)
-    n_f = stats.n_scenarios
+    n_f = jnp.maximum(stats.n_scenarios, 1.0)
     return MonteCarloStats(
         mean_rms_res=stats.mean_rms_res / n_f,
         mean_rms_turb=stats.mean_rms_turb / n_f,
@@ -164,5 +188,6 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
         mean_strehl_exact=stats.mean_strehl_exact / n_f,
         max_rms_res=stats.max_rms_res,
         mean_cost=stats.mean_cost / n_f,
-        n_scenarios=n_f,
+        n_scenarios=stats.n_scenarios,
+        n_diverged=stats.n_diverged,
     )

@@ -93,3 +93,27 @@ def test_multihost_global_scenario_assembly():
                                    n_steps=6, mesh=m)
     assert int(stats.n_scenarios) == n
     assert np.isfinite(float(stats.mean_rms_res))
+
+
+def test_sharded_stats_contain_diverged_scenarios():
+    """A poisoned scenario (non-finite magnification -> NaN telemetry)
+    must be counted in n_diverged and excluded from the psum means
+    instead of turning the whole shard's statistics to NaN."""
+    import dataclasses
+    from mpc_sensorlessao_tpu.parallel.mesh import scenario_mesh
+
+    cfg = reference_config(resolution=32)
+    cfg = cfg.replace(sim=dataclasses.replace(
+        cfg.sim, n_train=120, n_valid=30, n_test=8))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    m = scenario_mesh()
+    n = 2 * m.devices.size
+    scen = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(1), n)
+    bad_mag = scen.mag.at[0].set(jnp.nan)
+    scen = scen._replace(mag=bad_mag)
+    stats = montecarlo.run_sharded(system.loop, system.layers, cfg, scen,
+                                   n_steps=8, mesh=m)
+    assert int(stats.n_diverged) >= 1
+    assert int(stats.n_scenarios) + int(stats.n_diverged) == n
+    assert np.isfinite(float(stats.mean_rms_res))
+    assert float(stats.mean_rms_res) < 10.0
