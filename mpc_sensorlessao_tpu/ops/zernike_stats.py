@@ -354,3 +354,193 @@ def anisoplanatism_variance(atm: AtmosphereConfig, diameter: float,
     cov = np.diag(angular_covariance_analytic(
         atm, diameter, radial_order, theta, normalized=True))
     return float(np.sum(2.0 * (var[1:] - cov[1:])))
+
+
+# ---------------------------------------------------------------------------
+# Residual-phase spatial statistics after J-mode correction
+# (zernikeStats.m residue* family, :1783-2045)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=4)
+def _residual_covariance_grid(atm_key, diameter: float, radial_order: int,
+                              resolution: int):
+    """(P, P) covariance of the piston-removed phase with the first
+    `radial_order` orders perfectly removed, on the pupil grid --
+    C_res = M C_phi M' with M = (I - Z W)(I - 11'/P).
+
+    The reference computes the same object pointwise with per-pair
+    Bessel quadrature (residueVarianceMap/StructureFunction,
+    zernikeStats.m:1783-1986); the grid projector is exact w.r.t. the
+    framework's discrete basis and turns the whole family into dense
+    matrix algebra.  atm_key = the AtmosphereConfig (hashable dataclass).
+    """
+    atm = atm_key
+    r, theta, mask, w = _fit_geometry(radial_order, resolution)
+    R = resolution
+    N1 = R - 1
+    xs = (np.arange(R) * 2.0 - N1) / N1 * (diameter / 2.0)
+    X, Y = np.meshgrid(xs, xs)
+    pts = (X + 1j * Y)[mask]
+    C = phase_stats.covariance_matrix(pts, pts, atm)
+    P = pts.shape[0]
+    Mp = np.eye(P) - np.full((P, P), 1.0 / P)
+    z_in = zernike.eval_points(radial_order, r[mask], theta[mask])
+    proj = np.eye(P) - z_in @ w
+    M = proj @ Mp
+    return M @ C @ M.T, pts, mask
+
+
+def residue_variance_map(atm: AtmosphereConfig, diameter: float,
+                         radial_order: int,
+                         resolution: int = 32) -> np.ndarray:
+    """(R, R) map of residual phase variance after removing all modes
+    through `radial_order` (zernikeStats.m:1783-1871 residueVarianceMap);
+    NaN outside the pupil."""
+    C_res, pts, mask = _residual_covariance_grid(
+        atm, diameter, radial_order, resolution)
+    out = np.full((resolution, resolution), np.nan)
+    out[mask] = np.diag(C_res)
+    return out
+
+
+def residue_structure_function(atm: AtmosphereConfig, diameter: float,
+                               radial_order: int, i, j,
+                               resolution: int = 32) -> np.ndarray:
+    """D_res between pupil-grid point sets i, j (flat indices into the
+    masked point list)  (zernikeStats.m:1872-1986)."""
+    C_res, _, _ = _residual_covariance_grid(
+        atm, diameter, radial_order, resolution)
+    i = np.asarray(i)
+    j = np.asarray(j)
+    return (C_res[i, i] + C_res[j, j] - 2.0 * C_res[i, j])
+
+
+def residue_otf(atm: AtmosphereConfig, diameter: float, radial_order: int,
+                resolution: int = 32) -> np.ndarray:
+    """(2R-1, 2R-1) long-exposure residual OTF
+    exp(-D_res/2) averaged over the pupil overlap at every lattice shift
+    (zernikeStats.m:1988-2019 residueOtf), normalized to 1 at zero
+    separation scaling aside: out[s] = sum_pairs exp(-D/2) (the
+    diffraction-limited OTF is the pair COUNT, so Strehl ratios divide
+    them)."""
+    C_res, pts, mask = _residual_covariance_grid(
+        atm, diameter, radial_order, resolution)
+    R = resolution
+    idx = np.full((R, R), -1, dtype=np.int64)
+    idx[mask] = np.arange(mask.sum())
+    v = np.diag(C_res)
+    otf = np.zeros((2 * R - 1, 2 * R - 1))
+    for dy in range(-(R - 1), R):
+        for dx in range(-(R - 1), R):
+            a = idx[max(0, dy):R + min(0, dy), max(0, dx):R + min(0, dx)]
+            b = idx[max(0, -dy):R + min(0, -dy),
+                    max(0, -dx):R + min(0, -dx)]
+            sel = (a >= 0) & (b >= 0)
+            ii = a[sel]
+            jj = b[sel]
+            if ii.size == 0:
+                continue
+            D = v[ii] + v[jj] - 2.0 * C_res[ii, jj]
+            otf[dy + R - 1, dx + R - 1] = np.exp(-0.5 * D).sum()
+    return otf
+
+
+def residue_strehl_ratio(atm: AtmosphereConfig, diameter: float,
+                         radial_order: int,
+                         resolution: int = 32) -> float:
+    """Long-exposure Strehl after perfect J-mode correction: OTF-volume
+    ratio sum(OTF_res)/sum(OTF_DL)  (zernikeStats.m:2021-2031)."""
+    C_res, pts, mask = _residual_covariance_grid(
+        atm, diameter, radial_order, resolution)
+    otf = residue_otf(atm, diameter, radial_order, resolution)
+    # diffraction-limited OTF on the same lattice = overlap pair counts
+    m = mask.astype(np.float64)
+    from numpy.fft import fft2, ifft2
+    n = 2 * resolution
+    auto = np.real(ifft2(np.abs(fft2(m, (n, n))) ** 2))
+    counts = np.fft.fftshift(auto)[1:, 1:]
+    return float(otf.sum() / counts.sum())
+
+
+def residue_entrapped_energy(atm: AtmosphereConfig, diameter: float,
+                             radial_order: int, e_half_size_ld: float,
+                             resolution: int = 32) -> float:
+    """Fraction of long-exposure energy inside a square(ish) window of
+    half-size ``e_half_size_ld`` [lambda/D units]
+    (zernikeStats.m:2033-2044): the Airy-window overlap integral
+    2 somb(1, 2 pi e rho) weighting of the residual OTF, normalized by
+    the same weighting of the diffraction-limited OTF at e -> inf ==
+    total flux; here we return the ratio vs the DL system's entrapped
+    energy so 1.0 = diffraction limited."""
+    from scipy import special as sp
+    R = resolution
+    otf = residue_otf(atm, diameter, radial_order, resolution)
+    C_res, pts, mask = _residual_covariance_grid(
+        atm, diameter, radial_order, resolution)
+    m = mask.astype(np.float64)
+    n = 2 * R
+    auto = np.real(np.fft.ifft2(np.abs(np.fft.fft2(m, (n, n))) ** 2))
+    counts = np.fft.fftshift(auto)[1:, 1:]
+    d = np.arange(-(R - 1), R) * (diameter / (R - 1))
+    dx, dy = np.meshgrid(d, d)
+    rho = np.hypot(dx, dy) / diameter          # in D units
+    x = 2.0 * math.pi * e_half_size_ld * rho
+    somb = np.where(x > 0, 2.0 * sp.jv(1, np.where(x > 0, x, 1.0))
+                    / np.where(x > 0, x, 1.0), 1.0)
+    num = float((otf * somb).sum())
+    den = float((counts * somb).sum())
+    return num / den
+
+
+# ---------------------------------------------------------------------------
+# Closed-loop / tip-tilt analytics (zernikeStats.m:111-142,309-358,1220-1347)
+# ---------------------------------------------------------------------------
+
+def closed_loop_variance(atm: AtmosphereConfig, diameter: float,
+                         radial_order: int, T: float, tau: float,
+                         gain: float, n_nu: int = 400) -> np.ndarray:
+    """(K,) residual coefficient variances under a gain/delay integrator
+    loop:  2 integral S_j(nu) |E(nu)|^2 dnu  with the reference's
+    rejection TF E = 1/(1+G), G = ((1-e^-sT)/sT)^2 e^-s tau g/(1-e^-sT)
+    (zernikeStats.m:111-142 closedLoopVariance)."""
+    nu = np.logspace(-2, math.log10(2.0 / T), n_nu)
+    s = 2j * math.pi * nu
+    zoh = (1.0 - np.exp(-s * T)) / (s * T)
+    G = zoh ** 2 * np.exp(-tau * s) * gain / (1.0 - np.exp(-s * T))
+    E2 = np.abs(1.0 / (1.0 + G)) ** 2
+    S = temporal_spectrum_analytic(nu, atm, diameter, radial_order)
+    return 2.0 * np.trapezoid(S * E2[:, None], nu, axis=0)
+
+
+def rms_arcsec(atm: AtmosphereConfig, diameter: float,
+               variance_rad2) -> np.ndarray:
+    """Zernike tilt-coefficient rms -> image motion [arcsec]
+    (zernikeStats.m:327-345: radian2arcsec (lambda/2pi) sqrt(var) 4/D)."""
+    return (phase_stats.RADIAN2ARCSEC * (0.5 * atm.wavelength / math.pi)
+            * np.sqrt(np.asarray(variance_rad2)) * 4.0 / diameter)
+
+
+def anisokinetism_variance(atm: AtmosphereConfig, diameter: float,
+                           theta: float) -> float:
+    """Tip-tilt anisoplanatism variance [rad^2] at field angle theta
+    (zernikeStats.m:1220-1293): the order-1 modes' contribution of the
+    angular decorrelation, 2 sum_tt (var - cov(theta))."""
+    var = variance_analytic(atm, diameter, 1, normalized=True)
+    cov = np.diag(angular_covariance_analytic(atm, diameter, 1, theta,
+                                              normalized=True))
+    return float(np.sum(2.0 * (var[1:3] - cov[1:3])))
+
+
+def anisokinetism_angle_arcsec(atm: AtmosphereConfig, diameter: float,
+                               threshold_rad2: float = 1.0) -> float:
+    """Field angle where the tip-tilt anisoplanatism reaches
+    ``threshold_rad2`` (zernikeStats.m:1331-1347 anisokinetismAngle, which
+    solves for 1 rad^2), by bisection on the analytic curve."""
+    lo, hi = 1e-8, 1e-2
+    for _ in range(60):
+        mid = math.sqrt(lo * hi)
+        if anisokinetism_variance(atm, diameter, mid) < threshold_rad2:
+            lo = mid
+        else:
+            hi = mid
+    return math.sqrt(lo * hi) * phase_stats.RADIAN2ARCSEC

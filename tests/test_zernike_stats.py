@@ -141,3 +141,44 @@ def test_var_spectrum_cross_checks_analytic():
                       nuf, axis=0)
     sample = states[:1000].var(axis=0)
     assert 0.5 < vi[0] / sample[0] < 2.0
+
+
+def test_residue_family_consistency():
+    """Grid-projector residue statistics vs the independent spectral
+    path: mean(residueVarianceMap) == Delta_J, residueStrehlRatio ==
+    Marechal in the weak-turbulence limit, entrapped energy < 1."""
+    atm_w = AtmosphereConfig(r0=1.0, fractional_r0=(1.0,),
+                             altitudes=(0.0,), wind_speeds=(5.0,),
+                             wind_directions=(0.0,))
+    vm = zernike_stats.residue_variance_map(atm_w, 1.0, 4, resolution=32)
+    delta = zernike_stats.residual_variance(15, atm_w, 1.0)
+    assert abs(np.nanmean(vm) - delta) < 0.05 * delta
+    # the map is spatially non-trivial but everywhere positive
+    assert np.nanmin(vm) > 0
+    sr = zernike_stats.residue_strehl_ratio(atm_w, 1.0, 4, resolution=32)
+    assert abs(sr - np.exp(-delta)) < 0.01
+    ee = zernike_stats.residue_entrapped_energy(atm_w, 1.0, 4, 2.0,
+                                                resolution=32)
+    assert 0.9 < ee < 1.0
+
+
+def test_closed_loop_variance_and_tilt_analytics():
+    clv = zernike_stats.closed_loop_variance(ATM1, 1.0, 3, T=1 / 200,
+                                             tau=1 / 200, gain=0.5)
+    ol = zernike_stats.variance_analytic(ATM1, 1.0, 3)
+    # 200 Hz integrator rejects slow turbulence by orders of magnitude
+    assert clv[1] < 0.02 * ol[1]
+    # gain -> 0 recovers the open-loop variance
+    clv0 = zernike_stats.closed_loop_variance(ATM1, 1.0, 3, T=1 / 200,
+                                              tau=1 / 200, gain=1e-6)
+    assert abs(clv0[1] / ol[1] - 1.0) < 0.05
+    atm5 = AtmosphereConfig(fractional_r0=(1.0,), altitudes=(5000.0,),
+                            wind_speeds=(5.0,), wind_directions=(0.0,))
+    a = zernike_stats.anisokinetism_variance(atm5, 1.0, 5e-6)
+    b = zernike_stats.anisokinetism_variance(atm5, 1.0, 5e-5)
+    assert 0 < a < b
+    ang = zernike_stats.anisokinetism_angle_arcsec(atm5, 1.0)
+    # the 1 rad^2 angle is where the curve crosses 1
+    v = zernike_stats.anisokinetism_variance(
+        atm5, 1.0, ang / zernike_stats.phase_stats.RADIAN2ARCSEC)
+    assert abs(v - 1.0) < 0.05
