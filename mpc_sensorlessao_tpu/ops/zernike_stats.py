@@ -336,7 +336,11 @@ def angular_covariance_analytic(atm: AtmosphereConfig, diameter: float,
         W = phase_stats.spectrum(f, slab)
         E = np.exp(1j * 2.0 * math.pi * np.outer(f * s, np.cos(th - azimuth)))
         ker = (W * w)[:, None] * E                         # (n_f, n_theta)
-        C += np.real(np.einsum("ift,ft,jft->ij", Q, ker, np.conj(Q),
+        # C_ij(s) = <a_i(theta+s) a_j(theta)> = Re int W conj(Q_i) Q_j
+        # e^{i 2 pi f . s}  (a_i(c) = int phihat conj(Q_i) e^{i2pif.c}):
+        # conjugating Q_i, not Q_j -- the swapped form silently returns
+        # the TRANSPOSE and breaks tomography off-diagonal blocks
+        C += np.real(np.einsum("ift,ft,jft->ij", np.conj(Q), ker, Q,
                                optimize=True)) * dth
     if not normalized:
         Nf = norm_factors(radial_order)
@@ -544,3 +548,50 @@ def anisokinetism_angle_arcsec(atm: AtmosphereConfig, diameter: float,
         else:
             hi = mid
     return math.sqrt(lo * hi) * phase_stats.RADIAN2ARCSEC
+
+
+def coefficient_angular_covariance(atm: AtmosphereConfig, diameter: float,
+                                   radial_order: int, dtheta=(0.0, 0.0),
+                                   lag: float = 0.0,
+                                   normalized: bool = False,
+                                   n_f: int = 700,
+                                   n_theta: int = 256) -> np.ndarray:
+    """(K, K) covariance between Zernike coefficients seen in two
+    directions separated by the VECTOR ``dtheta`` [rad] and two instants
+    separated by ``lag`` [s] under frozen flow -- the general pairwise
+    kernel behind tomography (linearMMSE.m 'modal', zernikeStats.m
+    angularCovariance:566-779 + temporalAngularCovariance:920-1062).
+
+    Per layer the footprints are displaced by  s_l = h_l dtheta +
+    v_l lag (cos, sin)(wind_dir);  dtheta=(0,0), lag=0 reduces to
+    covariance_analytic.
+    """
+    n_arr, m_arr = _mode_nm(radial_order)
+    n_max = int(n_arr.max())
+    K = len(n_arr)
+    f, w = _radial_grid(atm.L0, diameter, n_max, n_f)
+    th = np.linspace(0.0, 2.0 * math.pi, n_theta, endpoint=False)
+    dth = 2.0 * math.pi / n_theta
+    Q = zernike_fourier(n_arr, m_arr, f[None, :].repeat(n_theta, 0).T,
+                        np.broadcast_to(th, (n_f, n_theta)), diameter)
+    C = np.zeros((K, K))
+    for il in range(atm.n_layers):
+        slab = atm.layer(il)
+        h = slab.altitudes[0]
+        v = slab.wind_speeds[0]
+        d = slab.wind_directions[0]
+        sx = h * math.tan(dtheta[0]) + v * lag * math.cos(d)
+        sy = h * math.tan(dtheta[1]) + v * lag * math.sin(d)
+        s = math.hypot(sx, sy)
+        alpha = math.atan2(sy, sx)
+        W = phase_stats.spectrum(f, slab)
+        E = np.exp(1j * 2.0 * math.pi
+                   * np.outer(f * s, np.cos(th - alpha)))
+        ker = (W * w)[:, None] * E
+        # conj on the FIRST factor: see angular_covariance_analytic
+        C += np.real(np.einsum("ift,ft,jft->ij", np.conj(Q), ker, Q,
+                               optimize=True)) * dth
+    if not normalized:
+        Nf = norm_factors(radial_order)
+        C = C * np.outer(Nf, Nf)
+    return C
