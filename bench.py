@@ -59,8 +59,11 @@ def main():
         cfg, jax.random.PRNGKey(1), batch,
         d_over_r0_grid=(5.0,), snr_db_grid=(10.0,))
 
+    # every bench scenario uses the same turbulence window -> the frozen
+    # flow is traced once per step, not per scenario (montecarlo.run_batch)
     run = jax.jit(lambda s: montecarlo.run_batch(
-        system.loop, system.layers, cfg, s, n_steps=steps, solver=solver))
+        system.loop, system.layers, cfg, s, n_steps=steps, solver=solver,
+        shared_window=True))
 
     t0 = time.time()
     out = run(scen)

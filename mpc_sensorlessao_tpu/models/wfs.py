@@ -188,7 +188,8 @@ def _centroid(inten: jnp.ndarray, quad_cell: bool):
 def camera_slopes(model: SHModel, phase: jnp.ndarray, key,
                   detector=None, n_photons: float = 0.0,
                   threshold=None, quad_cell: bool = False,
-                  ref_slopes: jnp.ndarray | None = None) -> jnp.ndarray:
+                  ref_slopes: jnp.ndarray | None = None,
+                  remove_mean: bool = False) -> jnp.ndarray:
     """Full SH camera chain: spots -> detector noise -> thresholding ->
     centroiding -> slopes [rad/px].
 
@@ -208,6 +209,11 @@ def camera_slopes(model: SHModel, phase: jnp.ndarray, key,
       (shackHartmann.m:123-124,515-527); calibrate its gain externally.
     * ``ref_slopes``: subtracted reference (flat-wavefront) slopes
       (shackHartmann.m referenceSlopes semantics); None = 0.
+    * ``remove_mean``: rmMeanSlopes tip/tilt removal
+      (shackHartmann.m:566-571).  (The reference also declares
+      matchedFilter/correlation algorithm flags, but their processing
+      branches are EMPTY stubs -- shackHartmann.m:562-563 -- so there is
+      no behavior to match.)
 
     Single phase map; vmap over batches (split keys per scenario).
     """
@@ -236,6 +242,12 @@ def camera_slopes(model: SHModel, phase: jnp.ndarray, key,
     s = jnp.concatenate([cx[sel], cy[sel]]) * scale
     if ref_slopes is not None:
         s = s - ref_slopes
+    if remove_mean:
+        # rmMeanSlopes (shackHartmann.m:566-571): subtract the mean x
+        # and mean y slope (tip/tilt removal at the slopes level)
+        n = s.shape[-1] // 2
+        s = jnp.concatenate([s[:n] - jnp.mean(s[:n]),
+                             s[n:] - jnp.mean(s[n:])])
     return s
 
 

@@ -105,9 +105,28 @@ def _settled_slice(n_steps: int) -> int:
 
 
 def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
-              n_steps: int, solver: str | None = None
-              ) -> closed_loop.StepOutputs:
-    """vmap the closed loop over the scenario axis (single device)."""
+              n_steps: int, solver: str | None = None,
+              shared_window: bool = False) -> closed_loop.StepOutputs:
+    """vmap the closed loop over the scenario axis (single device).
+
+    ``shared_window=True`` asserts every scenario uses the SAME
+    turbulence window (the make_scenarios default, start_range=None):
+    the frozen-flow evolution is then traced UNBATCHED inside the scan
+    and broadcast across scenarios -- the batched window gather is the
+    single most expensive stage of the step (~9 us/scenario of the
+    ~13 us R=128 step, measured), and it is pure waste when the offsets
+    are identical.  Trajectories are bit-identical to the batched path.
+    """
+    if shared_window:
+        s0 = scen.start_step[0]
+
+        def one_shared(key, mag, noise_scale):
+            return closed_loop.simulate(
+                models, layers, cfg, key, n_steps=n_steps,
+                start_step=s0, solver=solver, mag=mag,
+                noise_scale=noise_scale)
+
+        return jax.vmap(one_shared)(scen.key, scen.mag, scen.noise_scale)
 
     def one(s: ScenarioBatch):
         return closed_loop.simulate(
@@ -119,8 +138,8 @@ def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
 
 
 def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
-                n_steps: int, mesh, solver: str | None = None
-                ) -> MonteCarloStats:
+                n_steps: int, mesh, solver: str | None = None,
+                shared_window: bool = False) -> MonteCarloStats:
     """shard_map over the mesh scenario axis; psum-reduced statistics.
 
     Scenario count must be a multiple of the mesh size
@@ -133,7 +152,8 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
     settle = _settled_slice(n_steps)
 
     def local(models, layers, scen_shard: ScenarioBatch) -> MonteCarloStats:
-        out = run_batch(models, layers, cfg, scen_shard, n_steps, solver)
+        out = run_batch(models, layers, cfg, scen_shard, n_steps, solver,
+                        shared_window=shared_window)
         res = out.rms_res[:, settle:]
         turb = out.rms_turb[:, settle:]
         strehl = out.strehl[:, settle:]

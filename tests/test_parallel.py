@@ -117,3 +117,23 @@ def test_sharded_stats_contain_diverged_scenarios():
     assert int(stats.n_scenarios) + int(stats.n_diverged) == n
     assert np.isfinite(float(stats.mean_rms_res))
     assert float(stats.mean_rms_res) < 10.0
+
+
+def test_shared_window_batch_matches_batched_path():
+    """run_batch(shared_window=True) must reproduce the fully-batched
+    trajectories exactly when every scenario shares the start step."""
+    import dataclasses
+    cfg = reference_config(resolution=32)
+    cfg = cfg.replace(sim=dataclasses.replace(
+        cfg.sim, n_train=120, n_valid=30, n_test=6))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    scen = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(1), 4,
+                                     d_over_r0_grid=(5.0, 10.0))
+    a = montecarlo.run_batch(system.loop, system.layers, cfg, scen,
+                             n_steps=6)
+    b = montecarlo.run_batch(system.loop, system.layers, cfg, scen,
+                             n_steps=6, shared_window=True)
+    np.testing.assert_allclose(np.asarray(a.rms_res),
+                               np.asarray(b.rms_res), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u),
+                               atol=1e-5)
