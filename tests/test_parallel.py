@@ -137,3 +137,28 @@ def test_shared_window_batch_matches_batched_path():
                                np.asarray(b.rms_res), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(a.u), np.asarray(b.u),
                                atol=1e-5)
+
+
+def test_tensor_parallel_estimator_matches_unsharded():
+    """p-dimension sharded estimate + Gauss-Newton normal equations ==
+    the single-device results (tensor-parallel axis, parallel/
+    estimator_tp.py)."""
+    from mpc_sensorlessao_tpu.parallel import estimator_tp as tp
+
+    rng = np.random.default_rng(0)
+    nx, p, B = 27, 2883, 5
+    S = jnp.asarray(rng.normal(size=(nx, p)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(p,)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(B, p)), jnp.float32)
+    m = tp.tp_mesh()
+    out = np.asarray(tp.sharded_estimate(S, b, y, m))
+    ref = np.asarray((y - b) @ S.T)
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    A = jnp.asarray(rng.normal(size=(p, nx)), jnp.float32)
+    yr = jnp.asarray(rng.normal(size=(p,)), jnp.float32)
+    G, g = tp.sharded_normal_equations(A, yr, m)
+    np.testing.assert_allclose(np.asarray(G), np.asarray(A.T @ A),
+                               rtol=5e-4, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(yr @ A),
+                               rtol=5e-4, atol=5e-3)
