@@ -57,3 +57,52 @@ def test_checkpoint_round_trip(tmp_path):
                                   np.arange(5.0))
     d = checkpoint.load_config_dict(str(tmp_path / "ck"))
     assert d["mpc"]["horizon"] == 2
+
+
+# ------------------ gridtools (utilities.m grab-bag parity) ---------------
+
+def test_gridtools_roundtrips_and_formulas():
+    import numpy as np
+    import jax.numpy as jnp
+    from mpc_sensorlessao_tpu.utils import gridtools as gt
+
+    # mean_sub: zero in-mask mean, outside untouched
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(size=(3, 8, 8)), jnp.float32)
+    m = np.zeros((8, 8), bool); m[2:6, 2:6] = True
+    out = np.asarray(gt.mean_sub(d, m))
+    assert np.abs(out[:, m].mean(axis=1)).max() < 1e-6
+    np.testing.assert_allclose(out[:, ~m], np.asarray(d)[:, ~m])
+
+    # toggle_frame roundtrip
+    cube = jnp.asarray(rng.normal(size=(6, 6, 4)), jnp.float32)
+    flat = gt.toggle_frame(cube, 2)
+    assert flat.shape == (36, 4)
+    np.testing.assert_allclose(np.asarray(gt.toggle_frame(flat, 3)),
+                               np.asarray(cube))
+
+    # rearrange covers every index exactly once
+    idx = gt.rearrange((8, 8), (4, 4))
+    assert idx.shape == (16, 4)
+    assert sorted(idx.ravel().tolist()) == list(range(64))
+
+    # defocus distance <-> focus coefficient inverse pair
+    a4 = 3.0
+    dz = gt.defocus_distance(a4, 0.2, 0.01, 532e-9)
+    back = gt.out_of_focus(dz, 0.2, 0.01, 532e-9)
+    assert abs(back - a4) < 1e-9 * abs(a4) + 1e-12
+
+    # fitting error decreases with actuator count, scales (D/r0)^(5/3)
+    f1 = gt.fitting_error_variance(1.0, 0.2, 42.0, 100)
+    f2 = gt.fitting_error_variance(1.0, 0.2, 42.0, 400)
+    assert f2 < f1
+    r = (gt.fitting_error_variance(1.0, 0.1, 42.0, 100) / f1)
+    assert abs(r - 2 ** (5.0 / 3.0)) < 1e-6
+
+    # gram_schmidt orthonormal
+    Q = gt.gram_schmidt(rng.normal(size=(10, 4)))
+    np.testing.assert_allclose(Q.T @ Q, np.eye(4), atol=1e-10)
+
+    # point-ahead angle ~ 2 v_orb h / c, tiny positive
+    pa = gt.point_ahead_angle(90e3)
+    assert 0 < pa < 1e-3
