@@ -142,15 +142,18 @@ def main():
     # ---- tuned rows: per-D/r0 builds (prior/warm start depend on mag) ----
     if not os.environ.get("PROTO_SKIP_TUNED"):
         for d in d_grid:
-            # Residual-scale MMSE shrinkage: the closed-loop residual is
-            # ~1/rejection of the open-loop prior, so prior_scale ~ 0.5/d
-            # -- measured to hold the 500-step lock at D/r0 up to 20
-            # (open-loop-scale priors let high-order estimator noise feed
-            # the MPC and the loop injects aberration).
+            # Residual-scale MMSE shrinkage (prior_scale ~ 0.5/d: the
+            # closed-loop residual is ~1/rejection of the open-loop
+            # prior) plus r_weight=30: the reference's R=I leaves the
+            # 79-dim actuator null space essentially free, and solver
+            # noise churning it makes strong-turbulence locks a
+            # numerical knife edge (vmapped-vs-single lowering decided
+            # lock at d>=15); R=30 damps it with ~0 tracking cost --
+            # measured robust over 8 noise seeds at every D/r0.
             cfg_t = cfg.replace(
                 zernike=dataclasses.replace(cfg.zernike, radial_order=10),
                 mpc=dataclasses.replace(cfg.mpc, warm_start=True,
-                                        var_ridge=1e-2),
+                                        var_ridge=1e-2, r_weight=30.0),
                 estimator=dataclasses.replace(
                     cfg.estimator, method="mmse",
                     prior_scale=min(0.15, 0.5 / d)),

@@ -32,7 +32,7 @@ def main():
         cfg = cfg.replace(
             zernike=dataclasses.replace(cfg.zernike, radial_order=10),
             mpc=dataclasses.replace(cfg.mpc, warm_start=True,
-                                    var_ridge=1e-2),
+                                    var_ridge=1e-2, r_weight=30.0),
             estimator=dataclasses.replace(cfg.estimator, method="mmse",
                                           prior_scale=min(0.15, 0.5 / d)))
     print(f"Building pipeline (R={res}, D/r0={d}) ...")

@@ -186,7 +186,12 @@ def simulate(
             seed = jnp.where(idx <= cfg.mpc.var_order, x0, seed_cont)
             x_gn = estimator_model.estimate_full_gn(
                 models.est, y, models.state_stack, track, x_init=seed)
-            sig2 = (noise_scale * models.est.noise_std) ** 2 + 1e-20
+            # model-error floor keeps the chi-square meaningful in
+            # (near-)noiseless scenarios: without it c_base > 20 is
+            # vacuously true and the rule degenerates into the
+            # head-to-head pick declared WRONG above
+            sig2 = ((noise_scale * models.est.noise_std) ** 2
+                    + (1e-3 * jnp.sqrt(jnp.mean(models.est.b_s ** 2))) ** 2)
 
             def chi2(xc):
                 ph = jnp.einsum("k,kij->ij", xc, models.state_stack)

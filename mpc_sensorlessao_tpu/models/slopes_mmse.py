@@ -158,13 +158,15 @@ def _apply_cxx(model: SlopesMMSE, v: jnp.ndarray) -> jnp.ndarray:
     """
     m = model.valid.reshape(-1).astype(v.dtype)
     mask2 = jnp.concatenate([m, m])
-    v = v * mask2
-    sx, sy = jnp.split(v, 2, axis=-1)
+    vm = v * mask2
+    sx, sy = jnp.split(vm, 2, axis=-1)
     yx = toeplitz.matvec(model.cxx, sx) + toeplitz.matvec(model.cxy, sy)
     yy = (toeplitz.matvec(toeplitz.transpose(model.cxy), sx)
           + toeplitz.matvec(model.cyy, sy))
     out = jnp.concatenate([yx, yy]) * mask2
-    return out + model.noise_var * v + (1.0 - mask2) * v
+    # identity on INVALID rows uses the pre-mask input so those
+    # coordinates are trivially invertible (not mapped to zero)
+    return out + model.noise_var * vm + (1.0 - mask2) * v
 
 
 def _cg(matvec, b, tol: float, maxit: int):

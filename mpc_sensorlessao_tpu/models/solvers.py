@@ -248,7 +248,7 @@ class ADMMInfo(NamedTuple):
     converged: jnp.ndarray
 
 
-@partial(jax.jit, static_argnames=("n_iter", "rho", "tol", "adapt_rounds",
+@partial(jax.jit, static_argnames=("n_iter", "tol", "adapt_rounds",
                                    "return_info"))
 def admm_condensed(mats: MPCMatrices, r, U_min, U_max, dU_min, dU_max,
                    rho: float | None = None,

@@ -136,11 +136,16 @@ def innovation_covariance(model: VARModel, series) -> "np.ndarray":
     over a series window (host-side diagnostics; float64)."""
     import numpy as np
     s = np.asarray(series, dtype=np.float64)
-    AA, BB = lag_matrix(s, model.order)
+    p = model.order
+    # pure-numpy lag construction (lag_matrix is jnp and would round-trip
+    # through the default device at f32)
+    AA = np.concatenate([s[p - j:len(s) - j] for j in range(1, p + 1)],
+                        axis=1)
+    BB = s[p:]
     para = np.concatenate(
         [np.asarray(model.A[j - 1], dtype=np.float64).T
-         for j in range(1, model.order + 1)], axis=0)
-    err = np.asarray(AA) @ para - np.asarray(BB)
+         for j in range(1, p + 1)], axis=0)
+    err = AA @ para - BB
     return err.T @ err / err.shape[0]
 
 

@@ -174,14 +174,11 @@ def _centroid(inten: jnp.ndarray, quad_cell: bool):
     normalized quadrant imbalance (quad-cell), shackHartmann.m:515-566."""
     w = inten.shape[-1]
     tot = jnp.sum(inten, axis=(-2, -1)) + 1e-20
+    ax = jnp.arange(w, dtype=inten.dtype) - (w - 1) / 2.0
     if quad_cell:
-        ax = jnp.sign(jnp.arange(w, dtype=inten.dtype) - (w - 1) / 2.0)
-        cx = jnp.sum(inten * ax[None, None, :], axis=(-2, -1)) / tot
-        cy = jnp.sum(inten * ax[None, :, None], axis=(-2, -1)) / tot
-    else:
-        ax = jnp.arange(w, dtype=inten.dtype) - (w - 1) / 2.0
-        cx = jnp.sum(inten * ax[None, None, :], axis=(-2, -1)) / tot
-        cy = jnp.sum(inten * ax[None, :, None], axis=(-2, -1)) / tot
+        ax = jnp.sign(ax)
+    cx = jnp.sum(inten * ax[None, None, :], axis=(-2, -1)) / tot
+    cy = jnp.sum(inten * ax[None, :, None], axis=(-2, -1)) / tot
     return cx, cy
 
 

@@ -161,7 +161,14 @@ def zernike_fourier(n_arr, m_arr, f, theta, diameter: float) -> np.ndarray:
 def _radial_grid(L0: float, diameter: float, n_max: int, n_f: int = 1500):
     """Log-spaced radial frequency grid + trapezoid weights for
     integrals of the form  integral g(f) f df  (weights include f)."""
-    f_lo = min(1e-4 / L0, 1e-3 / diameter)
+    # L0 = inf (Kolmogorov) is a supported config: no outer-scale knee,
+    # grid floor set by the aperture alone (filtered integrands converge;
+    # the raw piston-included variance is genuinely infinite there and
+    # comes out grid-truncated -- use residual_variance for Kolmogorov)
+    if math.isfinite(L0):
+        f_lo = min(1e-4 / L0, 1e-3 / diameter)
+    else:
+        f_lo = 1e-5 / diameter
     f_hi = 60.0 * (n_max + 2.0) / (math.pi * diameter)
     lf = np.linspace(math.log(f_lo), math.log(f_hi), n_f)
     f = np.exp(lf)

@@ -12,6 +12,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 shard_map = jax.shard_map
@@ -119,6 +120,15 @@ def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
     """
     if shared_window:
         s0 = scen.start_step[0]
+        try:  # best-effort guard (skipped for traced batches): silently
+            # replaying one window as N would corrupt the statistics
+            starts = np.asarray(scen.start_step)
+            if not (starts == starts.flat[0]).all():
+                raise ValueError(
+                    "shared_window=True but scenarios have distinct "
+                    "start_steps; use the batched path")
+        except jax.errors.TracerArrayConversionError:
+            pass
 
         def one_shared(key, mag, noise_scale):
             return closed_loop.simulate(
@@ -178,8 +188,10 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
             mean_rms_turb=safe_sum(turb_m),
             mean_strehl=safe_sum(jnp.mean(strehl, axis=1)),
             mean_strehl_exact=safe_sum(jnp.mean(strehl_x, axis=1)),
+            # max over INSTANTANEOUS settled residuals of non-diverged
+            # scenarios (the worst-case excursion indicator)
             max_rms_res=jax.lax.pmax(
-                jnp.max(jnp.where(ok, jnp.nan_to_num(res_m), 0.0)),
+                jnp.max(jnp.where(ok[:, None], jnp.nan_to_num(res), 0.0)),
                 SCENARIO_AXIS),
             mean_cost=safe_sum(jnp.mean(cost, axis=1)),
             n_scenarios=jax.lax.psum(jnp.sum(okf), SCENARIO_AXIS),

@@ -58,22 +58,28 @@ def cart_and_pol(n: int, radius: float = 1.0, output: str = "polar"):
 
 def toggle_frame(frame, toggle: int | None = None):
     """2D <-> 3D frame reshaping (utilities.m:163-201): (R*R, T) flat
-    stacks <-> (R, R, T) cubes (the MATLAB column convention kept so
-    round-trips match the reference's data layout)."""
+    stacks <-> (R, R, T) cubes in the MATLAB COLUMN-major pixel layout
+    (p = i + j*R), so data exchanged with reference .mat stacks keeps
+    its orientation.  Deliberate deviation: an already-2D stack with
+    toggle=2 is returned unchanged (the reference re-flattens (P, T)
+    into (P*T, 1), which mangles multi-frame stacks)."""
     frame = jnp.asarray(frame)
     n = frame.ndim
     if toggle is None:
         toggle = 3 if n == 2 else 2
     if toggle == 2:
         if n == 2:
-            return frame.reshape(frame.shape[0] * frame.shape[1], 1)
-        return frame.reshape(frame.shape[0] * frame.shape[1], -1)
+            return frame
+        m, _, t = frame.shape
+        # column-major flatten of each frame: p = i + j*m
+        return frame.transpose(1, 0, 2).reshape(m * m, t)
     if toggle == 3:
         m = int(math.isqrt(frame.shape[0]))
         if m * m != frame.shape[0]:
             raise ValueError("first dim is not a square pixel count")
         t = frame.shape[1] if n > 1 else 1
-        return frame.reshape(m, m, t)
+        # inverse of the column-major flatten
+        return frame.reshape(m, m, t).transpose(1, 0, 2)
     raise ValueError("toggle must be 2 or 3")
 
 

@@ -148,7 +148,8 @@ def test_d_over_r0_15_closes_with_shrunk_prior():
     cfg = reference_config(resolution=128)
     cfg = cfg.replace(
         zernike=dataclasses.replace(cfg.zernike, radial_order=10),
-        mpc=dataclasses.replace(cfg.mpc, warm_start=True, var_ridge=1e-2),
+        mpc=dataclasses.replace(cfg.mpc, warm_start=True, var_ridge=1e-2,
+                                r_weight=30.0),
         estimator=dataclasses.replace(cfg.estimator, method="mmse",
                                       prior_scale=0.05),
         sim=dataclasses.replace(cfg.sim, n_train=300, n_valid=50,
