@@ -32,7 +32,7 @@ except Exception:
 
 def main():
     res = int(os.environ.get("BENCH_RES", "128"))
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     steps = int(os.environ.get("BENCH_STEPS", "25"))
     solver = os.environ.get("BENCH_SOLVER", "fastmpc")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
