@@ -34,9 +34,10 @@ Units: slopes in [rad/m] (mean physical phase gradient); phase in [rad].
 `reconstruct` accepts the [rad/px] output of wfs.geometric_slopes with
 its grid pitch and converts.
 
-On-axis NGS case (guide star == science star); the off-axis/LGS
-generalization adds per-layer displacement phasors (same machinery,
-slopesLinearMMSE.m:380-410) and is intentionally out of scope here.
+Off-axis science direction (mmseStar != guideStar): per-layer
+displacement phasors exp(2 i pi h (dtheta . f)) inside the Cox kernel
+quadrature, the reference's deltaSrc branch
+(slopesLinearMMSE.m:119-127,363,380-410 for the layered NGS case).
 """
 
 from __future__ import annotations
@@ -73,12 +74,16 @@ class SlopesMMSE:
 
 
 def _kernels(atm: AtmosphereConfig, d: float, n_lenslet: int,
-             nf: int = 512, sf: int = 4):
+             nf: int = 512, sf: int = 4, mmse_dir=(0.0, 0.0)):
     """Covariance kernels on the displacement lattices via oversampled
     FFT quadrature (slopesLinearMMSE.m:289-341,350-378).
 
     Returns (kxx, kyy, kxy) on the (2nl-1)^2 slope-displacement lattice
     and (kox, koy) on the 2nl x 2nl corner-to-center lattice.
+    ``mmse_dir``: science-direction offset from the guide star [rad];
+    each layer's Cox kernel gains the displacement phasor
+    exp(2 i pi h (dtheta . f)) (the deltaSrc branch,
+    slopesLinearMMSE.m:119-127,363).
     """
     lf = sf / (2.0 * d)                       # frequency half-range
     f1 = (np.arange(nf) - nf // 2) / (nf // 2) * lf
@@ -115,26 +120,44 @@ def _kernels(atm: AtmosphereConfig, d: float, n_lenslet: int,
     # cross spectrum S_{phi,sx} = U conj(V) W with U = 1 (phase) and
     # V = i 2 pi f_x sinc sinc (slope filter) -> the CONJUGATE flips the
     # sign (validated against empirical screen covariances)
-    s_ox = (-1j * two_pi * fx) * np.sinc(d * fx) * np.sinc(d * fy) * W
-    s_oy = (-1j * two_pi * fy) * np.sinc(d * fx) * np.sinc(d * fy) * W
+    base_ox = (-1j * two_pi * fx) * np.sinc(d * fx) * np.sinc(d * fy)
+    base_oy = (-1j * two_pi * fy) * np.sinc(d * fx) * np.sinc(d * fy)
+    kox = np.zeros((nf, nf))
+    koy = np.zeros((nf, nf))
+    off_axis = mmse_dir[0] != 0.0 or mmse_dir[1] != 0.0
+    for il in range(atm.n_layers):
+        slab = atm.layer(il)
+        Wl = phase_stats.spectrum(ff, slab)
+        if off_axis:
+            h = slab.altitudes[0]
+            phz = np.exp(2j * np.pi * h * (mmse_dir[0] * fx
+                                           + mmse_dir[1] * fy))
+        else:
+            phz = 1.0
+        kox = kox + np.real(cov_of(base_ox * Wl * phz))
+        koy = koy + np.real(cov_of(base_oy * Wl * phz))
     bo = (np.arange(-n_lenslet + 1, n_lenslet + 1) * sf - phasor_off + b0)
-    kox = np.real(cov_of(s_ox))[np.ix_(bo, bo)]
-    koy = np.real(cov_of(s_oy))[np.ix_(bo, bo)]
+    kox = kox[np.ix_(bo, bo)]
+    koy = koy[np.ix_(bo, bo)]
     return cxx, cyy, cxy, kox, koy
 
 
 def build(atm: AtmosphereConfig, diameter: float, n_lenslet: int,
           valid, noise_var: float, nf: int = 512, sf: int = 4,
-          mag: float = 1.0) -> SlopesMMSE:
-    """Build the reconstructor for an on-axis NGS.
+          mag: float = 1.0, mmse_dir=(0.0, 0.0)) -> SlopesMMSE:
+    """Build the reconstructor for an NGS guide star.
 
     ``valid``: (nl, nl) bool valid-lenslet map (wfs.SHModel.valid);
     ``noise_var``: per-slope measurement noise variance [rad^2/m^2];
     ``mag``: turbulence magnification (scales covariances by mag^2,
-    README.md:277-284 semantics).
+    README.md:277-284 semantics);
+    ``mmse_dir``: (theta_x, theta_y) [rad] science direction relative to
+    the guide star -- (0, 0) reconstructs the sensed direction, anything
+    else the off-axis wavefront (anisoplanatic MMSE interpolation).
     """
     d = diameter / n_lenslet
-    kxx, kyy, kxy, kox, koy = _kernels(atm, d, n_lenslet, nf, sf)
+    kxx, kyy, kxy, kox, koy = _kernels(atm, d, n_lenslet, nf, sf,
+                                       mmse_dir=tuple(mmse_dir))
     m2 = float(mag) ** 2
     nl = n_lenslet
     return hostcompute.to_default(SlopesMMSE(

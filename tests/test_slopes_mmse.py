@@ -122,3 +122,46 @@ def test_reconstruct_is_jit_batched(setup):
         model, s, tel.pixel_pitch))(batch)
     assert out.shape == (3, NL + 1, NL + 1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_off_axis_mmse_beats_naive_reconstruction(setup):
+    """mmse_dir (the deltaSrc branch, slopesLinearMMSE.m:119-127,363):
+    reconstructing an off-axis science direction from on-axis slopes
+    through a high layer beats naively reusing the on-axis
+    reconstruction (measured ~2.5x)."""
+    from mpc_sensorlessao_tpu.ops import relay
+    tel, sh = setup
+    pitch = tel.pixel_pitch
+    atm_h = AtmosphereConfig(fractional_r0=(1.0,), altitudes=(8000.0,),
+                             wind_speeds=(5.0,), wind_directions=(0.0,))
+    arcsec = np.pi / 180 / 3600
+    dth = (10 * arcsec, 0.0)
+    m_on = slopes_mmse.build(atm_h, tel.diameter, NL, sh.valid,
+                             noise_var=1e-6)
+    m_off = slopes_mmse.build(atm_h, tel.diameter, NL, sh.valid,
+                              noise_var=1e-6, mmse_dir=dth)
+    sub = R // NL
+    idx = np.clip(np.arange(NL + 1) * sub, 0, R - 1)
+    pm = (np.hypot(*np.meshgrid(np.arange(NL + 1) - NL / 2,
+                                np.arange(NL + 1) - NL / 2))
+          <= NL / 2 + 0.5).ravel()
+    e_off, e_on = [], []
+    for s in range(10):
+        scr = jnp.asarray(np.asarray(phase_screens.synthesize_screen(
+            400 + s, atm_h, 192, pitch, oversample=1)))
+        ph_on = np.array(relay.project_layers(
+            [scr], [pitch], tel.diameter / 2, atm_h.altitudes, R,
+            direction=(0.0, 0.0)))
+        ph_off = np.array(relay.project_layers(
+            [scr], [pitch], tel.diameter / 2, atm_h.altitudes, R,
+            direction=dth))
+        slopes = np.asarray(wfs.geometric_slopes(
+            sh, jnp.asarray(ph_on - ph_on.mean(), jnp.float32)))
+        truth = (ph_off - ph_off.mean())[np.ix_(idx, idx)].ravel()
+        for model, acc in ((m_off, e_off), (m_on, e_on)):
+            rec = np.asarray(slopes_mmse.reconstruct(
+                model, jnp.asarray(slopes, jnp.float32), pitch)).ravel()
+            e = rec[pm] - truth[pm]
+            e -= e.mean()
+            acc.append(np.sqrt((e ** 2).mean()))
+    assert np.mean(e_off) < 0.6 * np.mean(e_on)
