@@ -239,3 +239,175 @@ def reconstruct(model: SlopesMMSE, slopes: jnp.ndarray, pitch: float,
     yx, yy = jnp.split(y, 2, axis=-1)
     phi = toeplitz.matvec(model.cox, yx) + toeplitz.matvec(model.coy, yy)
     return phi.reshape(nl + 1, nl + 1)
+
+
+# ---------------------------------------------------------------------------
+# Multi-guide-star zonal tomography (slopesLinearMMSE.m NGS meta-matrix,
+# :110-127 -- arrayfun of slopestoSlopesCovariance over direction pairs)
+# ---------------------------------------------------------------------------
+
+def _slope_kernels_pair(atm: AtmosphereConfig, d: float, n_lenslet: int,
+                        dtheta, nf: int = 512, sf: int = 4):
+    """Slope-slope covariance kernels between two apertures separated by
+    the field angle ``dtheta`` [rad]: per-layer displacement phasors
+    exp(2 i pi h (dtheta . f)) on the (xx, yy, xy) spectra
+    (slopestoSlopesCovariance's deltaSrc phasor,
+    slopesLinearMMSE.m:180-186)."""
+    lf = sf / (2.0 * d)
+    f1 = (np.arange(nf) - nf // 2) / (nf // 2) * lf
+    fx, fy = np.meshgrid(f1, f1)
+    ff = np.hypot(fx, fy)
+    delta = 2.0 * lf / nf
+    sinc2 = (np.sinc(d * fx) * np.sinc(d * fy)) ** 2
+    two_pi = 2.0 * np.pi
+
+    def cov_of(spec):
+        c = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(spec)))
+        return np.real(c) * (delta * nf) ** 2
+
+    kxx = np.zeros((nf, nf))
+    kyy = np.zeros((nf, nf))
+    kxy = np.zeros((nf, nf))
+    off = dtheta[0] != 0.0 or dtheta[1] != 0.0
+    for il in range(atm.n_layers):
+        slab = atm.layer(il)
+        W = phase_stats.spectrum(ff, slab)
+        if off:
+            h = slab.altitudes[0]
+            phz = np.exp(2j * np.pi * h * (dtheta[0] * fx
+                                           + dtheta[1] * fy))
+        else:
+            phz = 1.0
+        kxx += cov_of((two_pi * fx) ** 2 * sinc2 * W * phz)
+        kyy += cov_of((two_pi * fy) ** 2 * sinc2 * W * phz)
+        kxy += cov_of((two_pi ** 2) * fx * fy * sinc2 * W * phz)
+    b0 = nf // 2
+    bs = (np.arange(-(n_lenslet - 1), n_lenslet) * sf + b0)
+    return (kxx[np.ix_(bs, bs)], kyy[np.ix_(bs, bs)], kxy[np.ix_(bs, bs)])
+
+
+@struct.dataclass
+class SlopesTomography:
+    """Multi-GS zonal MMSE reconstructor (TBT blocks per direction pair).
+
+    cxx_blocks: tuple over flattened (i, j) i<=j pairs of (xx, yy, xy)
+    TBTOperators; cox_blocks: tuple over GS of (ox, oy) operators toward
+    the science direction; layout mirrors the reference's cell-array
+    meta-matrix (slopesLinearMMSE.m:110-127)."""
+
+    cxx_blocks: tuple
+    cox_blocks: tuple
+    noise_var: jnp.ndarray
+    valid: jnp.ndarray
+    n_lenslet: int = struct.field(pytree_node=False)
+    n_gs: int = struct.field(pytree_node=False)
+
+
+def build_tomographic(atm: AtmosphereConfig, diameter: float,
+                      n_lenslet: int, valid, noise_var: float,
+                      gs_dirs, mmse_dir=(0.0, 0.0), nf: int = 512,
+                      sf: int = 4, mag: float = 1.0) -> SlopesTomography:
+    """Multi-guide-star zonal tomography: estimate the science-direction
+    pupil phase from the stacked slopes of several NGS."""
+    d = diameter / n_lenslet
+    nl = n_lenslet
+    m2 = float(mag) ** 2
+    dirs = [np.asarray(g, dtype=np.float64) for g in gs_dirs]
+    sci = np.asarray(mmse_dir, dtype=np.float64)
+    n_gs = len(dirs)
+    cxx = []
+    for i in range(n_gs):
+        for j in range(i, n_gs):
+            kxx, kyy, kxy = _slope_kernels_pair(
+                atm, d, nl, tuple(dirs[i] - dirs[j]), nf, sf)
+            cxx.append((toeplitz.build((nl, nl), (nl, nl), kxx * m2),
+                        toeplitz.build((nl, nl), (nl, nl), kyy * m2),
+                        toeplitz.build((nl, nl), (nl, nl), kxy * m2)))
+    cox = []
+    for g in dirs:
+        _, _, _, kox, koy = _kernels(atm, d, nl, nf, sf,
+                                     mmse_dir=tuple(sci - g))
+        cox.append((toeplitz.build((nl + 1, nl), (nl + 1, nl), kox * m2),
+                    toeplitz.build((nl + 1, nl), (nl + 1, nl), koy * m2)))
+    return hostcompute.to_default(SlopesTomography(
+        cxx_blocks=tuple(cxx),
+        cox_blocks=tuple(cox),
+        noise_var=jnp.asarray(noise_var, dtype=jnp.float32),
+        valid=jnp.asarray(np.asarray(valid, dtype=bool)),
+        n_lenslet=nl,
+        n_gs=n_gs,
+    ))
+
+
+def _pair_index(i, j, n):
+    """Flat index of the upper-triangular (i, j), i <= j."""
+    return i * n - i * (i - 1) // 2 + (j - i)
+
+
+def _apply_block(blocks, v, transpose_block=False):
+    """Apply one (xx, yy, xy) TBT block pair to v = (2 nl^2,).
+
+    The x<->y cross blocks BOTH use the same operator: C_{sx,sy} and
+    C_{sy,sx} come from the identical even kernel k_xy(delta) (the
+    spectrum (2 pi)^2 fx fy sinc^2 W is real and even), so the dense
+    blocks are equal -- NOT transposes -- for displaced aperture pairs.
+    The full pair block is [[A, B], [B, C]]; its transpose (needed for
+    the j < i half of the meta-matrix) transposes each of A, B, C and
+    keeps the structure (TBT transpose = even-kernel lattice flip)."""
+    bxx, byy, bxy = blocks
+    if transpose_block:
+        bxx = toeplitz.transpose(bxx)
+        byy = toeplitz.transpose(byy)
+        bxy = toeplitz.transpose(bxy)
+    sx, sy = jnp.split(v, 2, axis=-1)
+    yx = toeplitz.matvec(bxx, sx) + toeplitz.matvec(bxy, sy)
+    yy_ = toeplitz.matvec(bxy, sx) + toeplitz.matvec(byy, sy)
+    return jnp.concatenate([yx, yy_])
+
+
+def _apply_cxx_tomo(model: SlopesTomography, v: jnp.ndarray) -> jnp.ndarray:
+    """(C_xx + sigma^2 I) v over the stacked (n_gs, 2 nl^2) lattice."""
+    nl = model.n_lenslet
+    n_gs = model.n_gs
+    m = model.valid.reshape(-1).astype(v.dtype)
+    mask2 = jnp.concatenate([m, m])
+    V = v.reshape(n_gs, 2 * nl * nl)
+    Vm = V * mask2[None]
+    out = []
+    for i in range(n_gs):
+        acc = 0.0
+        for j in range(n_gs):
+            if i <= j:
+                blk = model.cxx_blocks[_pair_index(i, j, n_gs)]
+                acc = acc + _apply_block(blk, Vm[j])
+            else:
+                blk = model.cxx_blocks[_pair_index(j, i, n_gs)]
+                acc = acc + _apply_block(blk, Vm[j], transpose_block=True)
+        out.append(acc * mask2 + model.noise_var * Vm[i]
+                   + (1.0 - mask2) * V[i])
+    return jnp.stack(out).reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("tol", "maxit"))
+def reconstruct_tomographic(model: SlopesTomography, slopes: jnp.ndarray,
+                            pitch: float, tol: float = 5e-2,
+                            maxit: int = 150) -> jnp.ndarray:
+    """(n_gs, 2 n_valid) stacked guide-star slopes [rad/px] ->
+    (nl+1, nl+1) science-direction phase [rad]."""
+    nl = model.n_lenslet
+    n_gs = model.n_gs
+    vmask = model.valid.reshape(-1)
+    n_valid = slopes.shape[-1] // 2
+    sel = jnp.nonzero(vmask, size=n_valid)[0]
+    full = jnp.zeros((n_gs, 2, nl * nl), dtype=slopes.dtype)
+    full = full.at[:, 0, sel].set(slopes[:, :n_valid] / pitch)
+    full = full.at[:, 1, sel].set(slopes[:, n_valid:] / pitch)
+    c = full.reshape(-1)
+    y = _cg(lambda w: _apply_cxx_tomo(model, w), c, tol, maxit)
+    Y = y.reshape(n_gs, 2, nl * nl)
+    phi = 0.0
+    for g in range(n_gs):
+        ox, oy = model.cox_blocks[g]
+        phi = phi + toeplitz.matvec(ox, Y[g, 0]) \
+            + toeplitz.matvec(oy, Y[g, 1])
+    return phi.reshape(nl + 1, nl + 1)

@@ -165,3 +165,58 @@ def test_off_axis_mmse_beats_naive_reconstruction(setup):
             e -= e.mean()
             acc.append(np.sqrt((e ** 2).mean()))
     assert np.mean(e_off) < 0.6 * np.mean(e_on)
+
+
+def test_multi_gs_zonal_tomography(setup):
+    """3-guide-star zonal tomography (the reference's NGS meta-matrix,
+    slopesLinearMMSE.m:110-127) reconstructs the on-axis wavefront from
+    off-axis slopes ~4x better than the best single guide star."""
+    from mpc_sensorlessao_tpu.ops import relay
+    tel, sh = setup
+    pitch = tel.pixel_pitch
+    atm_h = AtmosphereConfig(fractional_r0=(1.0,), altitudes=(8000.0,),
+                             wind_speeds=(5.0,), wind_directions=(0.0,))
+    arcsec = np.pi / 180 / 3600
+    th = 10 * arcsec
+    gs = [(th, 0.0), (-th / 2, th * 0.866), (-th / 2, -th * 0.866)]
+    tomo = slopes_mmse.build_tomographic(atm_h, tel.diameter, NL,
+                                         sh.valid, 1e-6, gs)
+    m1 = slopes_mmse.build(atm_h, tel.diameter, NL, sh.valid, 1e-6,
+                           mmse_dir=(-th, 0.0))
+    # operator symmetry (CG requirement)
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(3 * 2 * NL * NL,)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3 * 2 * NL * NL,)), jnp.float32)
+    a = float(jnp.vdot(w, slopes_mmse._apply_cxx_tomo(tomo, v)))
+    b = float(jnp.vdot(v, slopes_mmse._apply_cxx_tomo(tomo, w)))
+    assert abs(a - b) < 1e-3 * max(abs(a), 1.0)
+
+    sub = R // NL
+    idx = np.clip(np.arange(NL + 1) * sub, 0, R - 1)
+    pm = (np.hypot(*np.meshgrid(np.arange(NL + 1) - NL / 2,
+                                np.arange(NL + 1) - NL / 2))
+          <= NL / 2 + 0.5).ravel()
+    e_t, e_1 = [], []
+    for s in range(8):
+        scr = jnp.asarray(np.asarray(phase_screens.synthesize_screen(
+            700 + s, atm_h, 192, pitch, oversample=1)))
+
+        def see(dd):
+            return np.array(relay.project_layers(
+                [scr], [pitch], tel.diameter / 2, atm_h.altitudes, R,
+                direction=dd))
+
+        ph = see((0.0, 0.0))
+        truth = (ph - ph.mean())[np.ix_(idx, idx)].ravel()
+        sl = np.stack([np.asarray(wfs.geometric_slopes(
+            sh, jnp.asarray(see(g) - see(g).mean(), jnp.float32)))
+            for g in gs])
+        rec = np.asarray(slopes_mmse.reconstruct_tomographic(
+            tomo, jnp.asarray(sl, jnp.float32), pitch)).ravel()
+        rec1 = np.asarray(slopes_mmse.reconstruct(
+            m1, jnp.asarray(sl[0], jnp.float32), pitch)).ravel()
+        for est, acc in ((rec, e_t), (rec1, e_1)):
+            e = est[pm] - truth[pm]
+            e -= e.mean()
+            acc.append(np.sqrt((e ** 2).mean()))
+    assert np.mean(e_t) < 0.4 * np.mean(e_1)
