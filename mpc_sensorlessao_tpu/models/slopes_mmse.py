@@ -85,57 +85,39 @@ def _kernels(atm: AtmosphereConfig, d: float, n_lenslet: int,
     exp(2 i pi h (dtheta . f)) (the deltaSrc branch,
     slopesLinearMMSE.m:119-127,363).
     """
-    lf = sf / (2.0 * d)                       # frequency half-range
-    f1 = (np.arange(nf) - nf // 2) / (nf // 2) * lf
-    fx, fy = np.meshgrid(f1, f1)
-    ff = np.hypot(fx, fy)
-    W = phase_stats.spectrum(ff, atm)
-    delta = 2.0 * lf / nf
-    sinc = np.sinc(d * fx) * np.sinc(d * fy)  # np.sinc = sin(pi x)/(pi x)
+    cxx, cyy, cxy = _slope_kernels_pair(atm, d, n_lenslet, (0.0, 0.0),
+                                        nf, sf)
+    fx, fy, ff, delta, cov_of = _freq_grid(d, nf, sf)
     two_pi = 2.0 * np.pi
-
-    def cov_of(spec):
-        # C(Delta) = int S(f) exp(i 2 pi f . Delta) df ~= ifft2 * N^2 d^2
-        # (quadrature weight delta^2 folded in); fftshift sandwich puts
-        # Delta = 0 at the center index
-        c = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(spec)))
-        return c * (delta * nf) ** 2
-
-    s_xx = (two_pi * fx) ** 2 * sinc ** 2 * W
-    s_yy = (two_pi * fy) ** 2 * sinc ** 2 * W
-    s_xy = (two_pi ** 2) * fx * fy * sinc ** 2 * W
-
-    # slope-slope: displacements (i, j) * d, i, j in [-(nl-1), nl-1]
-    b0 = nf // 2
-    bs = (np.arange(-(n_lenslet - 1), n_lenslet) * sf + b0)
-    cxx = np.real(cov_of(s_xx))[np.ix_(bs, bs)]
-    cyy = np.real(cov_of(s_yy))[np.ix_(bs, bs)]
-    cxy = np.real(cov_of(s_xy))[np.ix_(bs, bs)]
 
     # corner-phase to slope: corner lattice sits -d/2 off the lenslet
     # centers in both axes; the half-pixel lands on the oversampled
     # lattice when sf is even (offset sf/2), the reference's 0.5*d phasor
     assert sf % 2 == 0, "sf must be even (half-subaperture offset)"
     phasor_off = sf // 2
+    b0 = nf // 2
     # cross spectrum S_{phi,sx} = U conj(V) W with U = 1 (phase) and
     # V = i 2 pi f_x sinc sinc (slope filter) -> the CONJUGATE flips the
     # sign (validated against empirical screen covariances)
     base_ox = (-1j * two_pi * fx) * np.sinc(d * fx) * np.sinc(d * fy)
     base_oy = (-1j * two_pi * fy) * np.sinc(d * fx) * np.sinc(d * fy)
-    kox = np.zeros((nf, nf))
-    koy = np.zeros((nf, nf))
     off_axis = mmse_dir[0] != 0.0 or mmse_dir[1] != 0.0
-    for il in range(atm.n_layers):
-        slab = atm.layer(il)
-        Wl = phase_stats.spectrum(ff, slab)
-        if off_axis:
+    if not off_axis:
+        # spectrum is linear in fractional_r0: one combined-W transform
+        W = phase_stats.spectrum(ff, atm)
+        kox = cov_of(base_ox * W)
+        koy = cov_of(base_oy * W)
+    else:
+        kox = np.zeros((nf, nf))
+        koy = np.zeros((nf, nf))
+        for il in range(atm.n_layers):
+            slab = atm.layer(il)
+            Wl = phase_stats.spectrum(ff, slab)
             h = slab.altitudes[0]
             phz = np.exp(2j * np.pi * h * (mmse_dir[0] * fx
                                            + mmse_dir[1] * fy))
-        else:
-            phz = 1.0
-        kox = kox + np.real(cov_of(base_ox * Wl * phz))
-        koy = koy + np.real(cov_of(base_oy * Wl * phz))
+            kox = kox + cov_of(base_ox * Wl * phz)
+            koy = koy + cov_of(base_oy * Wl * phz)
     bo = (np.arange(-n_lenslet + 1, n_lenslet + 1) * sf - phasor_off + b0)
     kox = kox[np.ix_(bo, bo)]
     koy = koy[np.ix_(bo, bo)]
@@ -246,38 +228,50 @@ def reconstruct(model: SlopesMMSE, slopes: jnp.ndarray, pitch: float,
 # :110-127 -- arrayfun of slopestoSlopesCovariance over direction pairs)
 # ---------------------------------------------------------------------------
 
+def _freq_grid(d: float, nf: int, sf: int):
+    """Shared oversampled frequency grid + quadrature for every kernel
+    builder: C(Delta) = int S(f) e^{i 2 pi f Delta} df ~= ifft2 * N^2 d^2
+    with the fftshift sandwich putting Delta = 0 at the center index."""
+    lf = sf / (2.0 * d)
+    f1 = (np.arange(nf) - nf // 2) / (nf // 2) * lf
+    fx, fy = np.meshgrid(f1, f1)
+    ff = np.hypot(fx, fy)
+    delta = 2.0 * lf / nf
+
+    def cov_of(spec):
+        c = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(spec)))
+        return np.real(c) * (delta * nf) ** 2
+
+    return fx, fy, ff, delta, cov_of
+
+
 def _slope_kernels_pair(atm: AtmosphereConfig, d: float, n_lenslet: int,
                         dtheta, nf: int = 512, sf: int = 4):
     """Slope-slope covariance kernels between two apertures separated by
     the field angle ``dtheta`` [rad]: per-layer displacement phasors
     exp(2 i pi h (dtheta . f)) on the (xx, yy, xy) spectra
     (slopestoSlopesCovariance's deltaSrc phasor,
-    slopesLinearMMSE.m:180-186)."""
-    lf = sf / (2.0 * d)
-    f1 = (np.arange(nf) - nf // 2) / (nf // 2) * lf
-    fx, fy = np.meshgrid(f1, f1)
-    ff = np.hypot(fx, fy)
-    delta = 2.0 * lf / nf
+    slopesLinearMMSE.m:180-186).  On-axis pairs collapse to one
+    combined-W transform (spectrum linear in fractional_r0)."""
+    fx, fy, ff, delta, cov_of = _freq_grid(d, nf, sf)
     sinc2 = (np.sinc(d * fx) * np.sinc(d * fy)) ** 2
     two_pi = 2.0 * np.pi
 
-    def cov_of(spec):
-        c = np.fft.fftshift(np.fft.ifft2(np.fft.ifftshift(spec)))
-        return np.real(c) * (delta * nf) ** 2
-
+    off = dtheta[0] != 0.0 or dtheta[1] != 0.0
+    if not off:
+        specs = [(phase_stats.spectrum(ff, atm), 1.0)]
+    else:
+        specs = []
+        for il in range(atm.n_layers):
+            slab = atm.layer(il)
+            h = slab.altitudes[0]
+            specs.append((phase_stats.spectrum(ff, slab),
+                          np.exp(2j * np.pi * h * (dtheta[0] * fx
+                                                   + dtheta[1] * fy))))
     kxx = np.zeros((nf, nf))
     kyy = np.zeros((nf, nf))
     kxy = np.zeros((nf, nf))
-    off = dtheta[0] != 0.0 or dtheta[1] != 0.0
-    for il in range(atm.n_layers):
-        slab = atm.layer(il)
-        W = phase_stats.spectrum(ff, slab)
-        if off:
-            h = slab.altitudes[0]
-            phz = np.exp(2j * np.pi * h * (dtheta[0] * fx
-                                           + dtheta[1] * fy))
-        else:
-            phz = 1.0
+    for W, phz in specs:
         kxx += cov_of((two_pi * fx) ** 2 * sinc2 * W * phz)
         kyy += cov_of((two_pi * fy) ** 2 * sinc2 * W * phz)
         kxy += cov_of((two_pi ** 2) * fx * fy * sinc2 * W * phz)
@@ -296,6 +290,7 @@ class SlopesTomography:
     meta-matrix (slopesLinearMMSE.m:110-127)."""
 
     cxx_blocks: tuple
+    cxx_blocks_t: tuple           # pre-transposed (j > i applications)
     cox_blocks: tuple
     noise_var: jnp.ndarray
     valid: jnp.ndarray
@@ -329,8 +324,11 @@ def build_tomographic(atm: AtmosphereConfig, diameter: float,
                                      mmse_dir=tuple(sci - g))
         cox.append((toeplitz.build((nl + 1, nl), (nl + 1, nl), kox * m2),
                     toeplitz.build((nl + 1, nl), (nl + 1, nl), koy * m2)))
+    cxx_t = tuple((toeplitz.transpose(a), toeplitz.transpose(b),
+                   toeplitz.transpose(c)) for a, b, c in cxx)
     return hostcompute.to_default(SlopesTomography(
         cxx_blocks=tuple(cxx),
+        cxx_blocks_t=cxx_t,
         cox_blocks=tuple(cox),
         noise_var=jnp.asarray(noise_var, dtype=jnp.float32),
         valid=jnp.asarray(np.asarray(valid, dtype=bool)),
@@ -344,21 +342,18 @@ def _pair_index(i, j, n):
     return i * n - i * (i - 1) // 2 + (j - i)
 
 
-def _apply_block(blocks, v, transpose_block=False):
+def _apply_block(blocks, v):
     """Apply one (xx, yy, xy) TBT block pair to v = (2 nl^2,).
 
     The x<->y cross blocks BOTH use the same operator: C_{sx,sy} and
     C_{sy,sx} come from the identical even kernel k_xy(delta) (the
     spectrum (2 pi)^2 fx fy sinc^2 W is real and even), so the dense
     blocks are equal -- NOT transposes -- for displaced aperture pairs.
-    The full pair block is [[A, B], [B, C]]; its transpose (needed for
-    the j < i half of the meta-matrix) transposes each of A, B, C and
-    keeps the structure (TBT transpose = even-kernel lattice flip)."""
+    The full pair block is [[A, B], [B, C]]; its transpose (the j < i
+    half of the meta-matrix, pre-computed in build_tomographic as
+    cxx_blocks_t) transposes each of A, B, C and keeps the structure
+    (TBT transpose = even-kernel lattice flip)."""
     bxx, byy, bxy = blocks
-    if transpose_block:
-        bxx = toeplitz.transpose(bxx)
-        byy = toeplitz.transpose(byy)
-        bxy = toeplitz.transpose(bxy)
     sx, sy = jnp.split(v, 2, axis=-1)
     yx = toeplitz.matvec(bxx, sx) + toeplitz.matvec(bxy, sy)
     yy_ = toeplitz.matvec(bxy, sx) + toeplitz.matvec(byy, sy)
@@ -379,10 +374,9 @@ def _apply_cxx_tomo(model: SlopesTomography, v: jnp.ndarray) -> jnp.ndarray:
         for j in range(n_gs):
             if i <= j:
                 blk = model.cxx_blocks[_pair_index(i, j, n_gs)]
-                acc = acc + _apply_block(blk, Vm[j])
             else:
-                blk = model.cxx_blocks[_pair_index(j, i, n_gs)]
-                acc = acc + _apply_block(blk, Vm[j], transpose_block=True)
+                blk = model.cxx_blocks_t[_pair_index(j, i, n_gs)]
+            acc = acc + _apply_block(blk, Vm[j])
         out.append(acc * mask2 + model.noise_var * Vm[i]
                    + (1.0 - mask2) * V[i])
     return jnp.stack(out).reshape(-1)

@@ -32,6 +32,11 @@ from ..ops import block_tridiag
 
 HZ_AXIS = "hz"
 
+# jitted solver cache: rebuilding the shard_map closure per call would
+# retrace/recompile every time (remote compiles are erratically slow --
+# CLAUDE.md); key on the static configuration
+_SOLVER_CACHE: dict = {}
+
 
 def hz_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
@@ -71,14 +76,16 @@ def _condense(diag, sub, rhs):
     Lm = sub[Jl - 1]
     # row f:  [D_0 - L_1^T Wf_1] x_f - L_1^T Wl_1 x_l + L_0 x_prev = bf'
     Dff = diag[0] - L1T @ Wf[0]
-    Cfl = -L1T @ Wl[0]                                   # f <- l coupling
     bf = rhs[0] - L1T @ z_i[0]
     # row l:  -Lm Wf_last x_f + [D_last - Lm Wl_last] x_l
     #         + (L_0^{next})^T x_next = bl'
     Dll = diag[-1] - Lm @ Wl[-1]
     Clf = -Lm @ Wf[-1]                                   # l <- f coupling
     bl = rhs[-1] - Lm @ z_i[-1]
-    return Dff, Dll, Cfl, Clf, bf, bl, sub[0], z_i, Wf, Wl
+    # the f <- l coupling (-L1^T Wl[0]) is Clf^T by symmetry of the
+    # condensation and enters the reduced SPD system via cr_solve's
+    # S[j, j+1] = sub[j+1]^T convention -- only Clf is needed
+    return Dff, Dll, Clf, bf, bl, sub[0], z_i, Wf, Wl
 
 
 def solve_distributed(diag, sub, rhs, mesh: Mesh) -> jnp.ndarray:
@@ -92,9 +99,18 @@ def solve_distributed(diag, sub, rhs, mesh: Mesh) -> jnp.ndarray:
     Pn = mesh.devices.size
     assert J % Pn == 0 and J // Pn >= 3, (J, Pn)
 
+    cache_key = (mesh, J, n)
+    if cache_key in _SOLVER_CACHE:
+        fn = _SOLVER_CACHE[cache_key]
+        dshard = NamedSharding(mesh, P(HZ_AXIS))
+        args = (jax.device_put(diag.reshape(Pn, J // Pn, n, n), dshard),
+                jax.device_put(sub.reshape(Pn, J // Pn, n, n), dshard),
+                jax.device_put(rhs.reshape(Pn, J // Pn, n), dshard))
+        return fn(*args).reshape(J, n)
+
     def local(diag_l, sub_l, rhs_l):
         p = jax.lax.axis_index(HZ_AXIS)
-        (Dff, Dll, Cfl, Clf, bf, bl, L0,
+        (Dff, Dll, Clf, bf, bl, L0,
          z_i, Wf, Wl) = _condense(diag_l[0], sub_l[0], rhs_l[0])
         # reduced block-tridiagonal pieces for this device: rows
         # (2p, 2p+1) with diag (Dff, Dll), sub-blocks (L0 into row f
@@ -115,14 +131,15 @@ def solve_distributed(diag, sub, rhs, mesh: Mesh) -> jnp.ndarray:
         x = jnp.concatenate([xf[None], x_i, xl[None]], axis=0)
         return x[None]
 
-    fn = jax.shard_map(
+    fn = jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(HZ_AXIS), P(HZ_AXIS), P(HZ_AXIS)),
         out_specs=P(HZ_AXIS),
-    )
+    ))
+    _SOLVER_CACHE[cache_key] = fn
     dshard = NamedSharding(mesh, P(HZ_AXIS))
     args = (jax.device_put(diag.reshape(Pn, J // Pn, n, n), dshard),
             jax.device_put(sub.reshape(Pn, J // Pn, n, n), dshard),
             jax.device_put(rhs.reshape(Pn, J // Pn, n), dshard))
-    out = jax.jit(fn)(*args)
+    out = fn(*args)
     return out.reshape(J, n)
