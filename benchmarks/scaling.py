@@ -39,7 +39,8 @@ def main():
         scen = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(1),
                                          per_dev * nd)
         run = lambda: montecarlo.run_sharded(
-            system.loop, system.layers, cfg, scen, n_steps=steps, mesh=m)
+            system.loop, system.layers, cfg, scen, n_steps=steps, mesh=m,
+            shared_window=True)
         jax.block_until_ready(run())
         best = float("inf")
         for _ in range(3):
