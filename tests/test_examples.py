@@ -1,0 +1,12 @@
+"""Smoke test: the examples stay runnable (bitrot guard)."""
+
+import subprocess
+import sys
+
+
+def test_wfs_demo_runs():
+    out = subprocess.run(
+        [sys.executable, "examples/wfs_demo.py"],
+        capture_output=True, text=True, timeout=420, cwd=".")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "tomography" in out.stdout
