@@ -182,3 +182,16 @@ def test_closed_loop_variance_and_tilt_analytics():
     v = zernike_stats.anisokinetism_variance(
         atm5, 1.0, ang / zernike_stats.phase_stats.RADIAN2ARCSEC)
     assert abs(v - 1.0) < 0.05
+
+
+def test_kolmogorov_l0_inf_supported():
+    """L0 = inf (pure Kolmogorov) is a supported AtmosphereConfig; the
+    analytic family must not crash on it (filtered integrals converge)."""
+    import math
+    atm = AtmosphereConfig(r0=0.5, L0=math.inf, fractional_r0=(1.0,),
+                           altitudes=(0.0,), wind_speeds=(5.0,),
+                           wind_directions=(0.0,))
+    d3 = zernike_stats.residual_variance(3, atm, 1.0)
+    assert abs(d3 - 0.134 * 2 ** (5.0 / 3.0)) < 0.02 * d3
+    v = zernike_stats.variance_analytic(atm, 1.0, 3)
+    assert np.isfinite(v).all() and (v[1:] > 0).all()
