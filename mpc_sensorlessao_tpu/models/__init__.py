@@ -1,1 +1,3 @@
-from . import closed_loop, dm, estimator, mpc, pipeline, solvers, var, wfs
+from . import (closed_loop, dm, estimator, imaging, integrator, lgs, mpc,
+               pipeline, pyramid, slopes_mmse, solvers, tomography, var,
+               wfs)

@@ -1,1 +1,1 @@
-from . import mesh, montecarlo, multihost
+from . import estimator_tp, horizon, mesh, montecarlo, multihost

@@ -1,2 +1,2 @@
-from . import (checkpoint, config, guards, hostcompute, logbook, metrics,
-               photometry, profiling, special)
+from . import (checkpoint, config, gridtools, guards, hostcompute,
+               logbook, metrics, photometry, profiling, special)
