@@ -74,7 +74,8 @@ class SlopesMMSE:
 
 
 def _kernels(atm: AtmosphereConfig, d: float, n_lenslet: int,
-             nf: int = 512, sf: int = 4, mmse_dir=(0.0, 0.0)):
+             nf: int = 512, sf: int = 4, mmse_dir=(0.0, 0.0),
+             lag: float = 0.0):
     """Covariance kernels on the displacement lattices via oversampled
     FFT quadrature (slopesLinearMMSE.m:289-341,350-378).
 
@@ -83,7 +84,10 @@ def _kernels(atm: AtmosphereConfig, d: float, n_lenslet: int,
     ``mmse_dir``: science-direction offset from the guide star [rad];
     each layer's Cox kernel gains the displacement phasor
     exp(2 i pi h (dtheta . f)) (the deltaSrc branch,
-    slopesLinearMMSE.m:119-127,363).
+    slopesLinearMMSE.m:119-127,363).  ``lag`` [s]: frozen-flow temporal
+    prediction -- the science phase is taken ``lag`` seconds AFTER the
+    slopes, adding the per-layer wind displacement v*lag (the
+    reference's CoxLag, linearMMSE.m:190-196 lag semantics).
     """
     cxx, cyy, cxy = _slope_kernels_pair(atm, d, n_lenslet, (0.0, 0.0),
                                         nf, sf)
@@ -101,7 +105,8 @@ def _kernels(atm: AtmosphereConfig, d: float, n_lenslet: int,
     # sign (validated against empirical screen covariances)
     base_ox = (-1j * two_pi * fx) * np.sinc(d * fx) * np.sinc(d * fy)
     base_oy = (-1j * two_pi * fy) * np.sinc(d * fx) * np.sinc(d * fy)
-    off_axis = mmse_dir[0] != 0.0 or mmse_dir[1] != 0.0
+    off_axis = (mmse_dir[0] != 0.0 or mmse_dir[1] != 0.0
+                or lag != 0.0)
     if not off_axis:
         # spectrum is linear in fractional_r0: one combined-W transform
         W = phase_stats.spectrum(ff, atm)
@@ -114,8 +119,14 @@ def _kernels(atm: AtmosphereConfig, d: float, n_lenslet: int,
             slab = atm.layer(il)
             Wl = phase_stats.spectrum(ff, slab)
             h = slab.altitudes[0]
-            phz = np.exp(2j * np.pi * h * (mmse_dir[0] * fx
-                                           + mmse_dir[1] * fy))
+            v = slab.wind_speeds[0]
+            wd = slab.wind_directions[0]
+            # frozen flow: phi(t + lag) samples the layer at +v lag
+            # along the wind (phase_screens.make_layers window
+            # convention: x = v cos(dir), y = v sin(dir))
+            sx_ = h * mmse_dir[0] + v * lag * np.cos(wd)
+            sy_ = h * mmse_dir[1] + v * lag * np.sin(wd)
+            phz = np.exp(2j * np.pi * (sx_ * fx + sy_ * fy))
             kox = kox + cov_of(base_ox * Wl * phz)
             koy = koy + cov_of(base_oy * Wl * phz)
     bo = (np.arange(-n_lenslet + 1, n_lenslet + 1) * sf - phasor_off + b0)
@@ -126,7 +137,8 @@ def _kernels(atm: AtmosphereConfig, d: float, n_lenslet: int,
 
 def build(atm: AtmosphereConfig, diameter: float, n_lenslet: int,
           valid, noise_var: float, nf: int = 512, sf: int = 4,
-          mag: float = 1.0, mmse_dir=(0.0, 0.0)) -> SlopesMMSE:
+          mag: float = 1.0, mmse_dir=(0.0, 0.0),
+          lag: float = 0.0) -> SlopesMMSE:
     """Build the reconstructor for an NGS guide star.
 
     ``valid``: (nl, nl) bool valid-lenslet map (wfs.SHModel.valid);
@@ -135,11 +147,14 @@ def build(atm: AtmosphereConfig, diameter: float, n_lenslet: int,
     README.md:277-284 semantics);
     ``mmse_dir``: (theta_x, theta_y) [rad] science direction relative to
     the guide star -- (0, 0) reconstructs the sensed direction, anything
-    else the off-axis wavefront (anisoplanatic MMSE interpolation).
+    else the off-axis wavefront (anisoplanatic MMSE interpolation);
+    ``lag`` [s]: predict the wavefront this long AFTER the measurement
+    (frozen-flow temporal prediction, the CoxLag capability).
     """
     d = diameter / n_lenslet
     kxx, kyy, kxy, kox, koy = _kernels(atm, d, n_lenslet, nf, sf,
-                                       mmse_dir=tuple(mmse_dir))
+                                       mmse_dir=tuple(mmse_dir),
+                                       lag=lag)
     m2 = float(mag) ** 2
     nl = n_lenslet
     return hostcompute.to_default(SlopesMMSE(

@@ -220,3 +220,46 @@ def test_multi_gs_zonal_tomography(setup):
             e -= e.mean()
             acc.append(np.sqrt((e ** 2).mean()))
     assert np.mean(e_t) < 0.4 * np.mean(e_1)
+
+
+def test_frozen_flow_prediction_lag(setup):
+    """lag > 0 (the reference's CoxLag capability): reconstructing the
+    wavefront 8 frames AHEAD of the slopes under frozen flow beats the
+    zero-lag reconstructor ~3x (and the wrong-sign displacement is worse
+    than zero-lag, pinning the convention)."""
+    from mpc_sensorlessao_tpu.ops import phase_screens
+    tel, sh = setup
+    pitch = tel.pixel_pitch
+    atm_w = AtmosphereConfig(fractional_r0=(1.0,), altitudes=(0.0,),
+                             wind_speeds=(8.0,), wind_directions=(0.3,))
+    lag_steps = 8
+    lag = lag_steps * tel.sampling_time
+    models = {
+        "pred": slopes_mmse.build(atm_w, tel.diameter, NL, sh.valid,
+                                  1e-6, lag=lag),
+        "zero": slopes_mmse.build(atm_w, tel.diameter, NL, sh.valid,
+                                  1e-6),
+    }
+    layers = phase_screens.make_layers(3, atm_w, tel)
+    sub = R // NL
+    idx = np.clip(np.arange(NL + 1) * sub, 0, R - 1)
+    pm = (np.hypot(*np.meshgrid(np.arange(NL + 1) - NL / 2,
+                                np.arange(NL + 1) - NL / 2))
+          <= NL / 2 + 0.5).ravel()
+    errs = {k: [] for k in models}
+    for t in range(0, 320, 40):
+        ph_t = np.array(phase_screens.phase_at(layers, float(t), R))
+        ph_f = np.array(phase_screens.phase_at(layers,
+                                               float(t + lag_steps), R))
+        ph_t -= ph_t.mean()
+        ph_f -= ph_f.mean()
+        slopes = np.asarray(wfs.geometric_slopes(
+            sh, jnp.asarray(ph_t, jnp.float32)))
+        truth = ph_f[np.ix_(idx, idx)].ravel()
+        for k, m in models.items():
+            rec = np.asarray(slopes_mmse.reconstruct(
+                m, jnp.asarray(slopes, jnp.float32), pitch)).ravel()
+            e = rec[pm] - truth[pm]
+            e -= e.mean()
+            errs[k].append(np.sqrt((e ** 2).mean()))
+    assert np.mean(errs["pred"]) < 0.5 * np.mean(errs["zero"])
