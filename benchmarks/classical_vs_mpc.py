@@ -9,8 +9,10 @@ Controllers:
   integrator: Shack-Hartmann geometric slopes (models/wfs.py) ->
       TSVD-calibrated modal command (models/integrator.py
       calibration_vault, controller.m:305-308 update law), gain swept
-      and the best recorded.  Idealized in the integrator's favor:
-      noiseless slopes, zero extra delay, perfect modal corrector.
+      and the best recorded.  Two rows: an IDEAL one (noiseless slopes,
+      zero extra delay, perfect modal corrector) and a noise-matched one
+      whose per-slope SNR equals the MPC estimator's configured SNR
+      (sigma = rms(signal slopes) * 10^(-SNR/20)).
   mpc: the full sensorless pipeline (PSF diversity estimator with its
       configured measurement noise, VAR prediction, fastMPC solver) --
       the reference recipe at D/r0=5 and the strong-turbulence recipe
@@ -119,27 +121,39 @@ def main():
                            jnp.arange(n_steps, dtype=jnp.float32),
                            batch_size=16)
         flat = phis.reshape(n_steps, -1)
-        best = None
-        for gain in (0.3, 0.5, 0.7):
-            t0 = time.time()
-            _, rms = integrator.closed_loop(
-                sh.slope_op, vault, stack.reshape(stack.shape[0], -1),
-                flat, integrator.IntegratorConfig(gain=gain),
-                mask_flat=mask.reshape(-1))
-            rms = np.asarray(rms)
-            cand = {
-                "gain": gain,
-                "mean_rms_res": round(float(rms[s:].mean()), 4),
-                "rejection": round(float(turb[s:].mean()
-                                         / rms[s:].mean()), 3),
-                "strehl_marechal": round(_marechal(rms), 4),
-                "loop_s": round(time.time() - t0, 2),
-            }
-            if best is None or cand["mean_rms_res"] < best["mean_rms_res"]:
-                best = cand
-        row["integrator"] = best
+        # noise-matched row: per-slope SNR = the estimator's cfg SNR
+        sig_slopes = jnp.sqrt(jnp.mean((flat @ sh.slope_op.T) ** 2))
+        sigma = float(sig_slopes) * 10.0 ** (-cfg.estimator.snr_db / 20.0)
+        noise = sigma * jax.random.normal(
+            jax.random.PRNGKey(2), (n_steps, sh.n_slopes))
+        for label, sl_noise in (("integrator", None),
+                                ("integrator_snr_matched", noise)):
+            best = None
+            for gain in (0.3, 0.5, 0.7):
+                t0 = time.time()
+                _, rms = integrator.closed_loop(
+                    sh.slope_op, vault, stack.reshape(stack.shape[0], -1),
+                    flat, integrator.IntegratorConfig(gain=gain),
+                    mask_flat=mask.reshape(-1), slope_noise=sl_noise)
+                rms = np.asarray(rms)
+                cand = {
+                    "gain": gain,
+                    "mean_rms_res": round(float(rms[s:].mean()), 4),
+                    "rejection": round(float(turb[s:].mean()
+                                             / rms[s:].mean()), 3),
+                    "strehl_marechal": round(_marechal(rms), 4),
+                    "loop_s": round(time.time() - t0, 2),
+                }
+                if (best is None
+                        or cand["mean_rms_res"] < best["mean_rms_res"]):
+                    best = cand
+            row[label] = best
         row["mpc_advantage_rms"] = round(
-            best["mean_rms_res"] / row["mpc"]["mean_rms_res"], 3)
+            row["integrator"]["mean_rms_res"]
+            / row["mpc"]["mean_rms_res"], 3)
+        row["mpc_advantage_rms_snr_matched"] = round(
+            row["integrator_snr_matched"]["mean_rms_res"]
+            / row["mpc"]["mean_rms_res"], 3)
         report["rows"][f"d_over_r0={d:g}"] = row
         print(json.dumps({f"d={d:g}": row}), file=sys.stderr)
 

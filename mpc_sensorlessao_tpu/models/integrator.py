@@ -97,7 +97,8 @@ class IntegratorConfig(NamedTuple):
 def closed_loop(sense_op: jnp.ndarray, command: CalibrationVault | jnp.ndarray,
                 mode_stack_flat: jnp.ndarray, turb_modes: jnp.ndarray,
                 cfg: IntegratorConfig = IntegratorConfig(),
-                mask_flat: jnp.ndarray | None = None):
+                mask_flat: jnp.ndarray | None = None,
+                slope_noise: jnp.ndarray | None = None):
     """Run the delayed leaky integrator over a turbulence sequence.
 
     Args:
@@ -108,6 +109,9 @@ def closed_loop(sense_op: jnp.ndarray, command: CalibrationVault | jnp.ndarray,
                  (DM modal basis; the correction is -modes' c).
       turb_modes: (T, P) open-loop turbulence phase per step, flattened.
       cfg:       gain/leak/delay.
+      slope_noise: optional (T, n_slopes) measurement noise added to the
+                 slopes each step (shackHartmann camera noise at the
+                 slopes level); None = ideal sensor.
 
     Returns:
       (c_acc, res_rms): (T, K) command history and (T,) residual-phase
@@ -144,9 +148,16 @@ def closed_loop(sense_op: jnp.ndarray, command: CalibrationVault | jnp.ndarray,
         m = mask_flat.astype(jnp.float32)
         w_rms = m / jnp.sum(m)
 
-    def step(carry, phi_t):
+    if slope_noise is not None:
+        # fold the per-step slope noise through the command matrix once
+        noise_est = slope_noise @ M.T                   # (T, K)
+    else:
+        noise_est = jnp.zeros((turb_modes.shape[0], K), dtype=jnp.float32)
+
+    def step(carry, xs):
+        phi_t, n_t = xs
         c, ring = carry
-        est_turb = MS @ phi_t                           # M s of raw turb
+        est_turb = MS @ phi_t + n_t                     # M (s + noise)
         est = est_turb - MSB @ c                        # = M s of residual
         if delay > 0:
             delayed = ring[0]
@@ -165,5 +176,6 @@ def closed_loop(sense_op: jnp.ndarray, command: CalibrationVault | jnp.ndarray,
 
     c0 = jnp.zeros((K,), dtype=jnp.float32)
     ring0 = jnp.zeros((max(delay, 1), K), dtype=jnp.float32)
-    (_, _), (c_acc, rms) = jax.lax.scan(step, (c0, ring0), turb_modes)
+    (_, _), (c_acc, rms) = jax.lax.scan(step, (c0, ring0),
+                                        (turb_modes, noise_est))
     return c_acc, rms

@@ -106,3 +106,31 @@ def test_zero_delay_has_one_frame_actuation_latency(sh_setup):
     assert float(rms[0]) == pytest.approx(
         float(jnp.sqrt(jnp.mean(phi * phi))), rel=1e-5)
     assert float(rms[1]) < float(rms[0])     # correction from frame 1
+
+
+def test_slope_noise_degrades_and_is_seedable():
+    """The slope-noise path (shackHartmann camera noise at the slopes
+    level) degrades the integrator's settled residual monotonically."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    P, K, T, n_s = 100, 6, 120, 24
+    S = jnp.asarray(rng.normal(size=(n_s, P)) * 0.3, jnp.float32)
+    modes = jnp.asarray(rng.normal(size=(K, P)), jnp.float32)
+    D = S @ modes.T
+    vault = integrator.calibration_vault(D)
+    # slowly varying turbulence in the mode span
+    t = np.linspace(0, 4 * np.pi, T)
+    coefs = np.stack([np.sin(t + k) for k in range(K)], axis=1)
+    turb = jnp.asarray(coefs @ np.asarray(modes), jnp.float32)
+    errs = []
+    for sigma in (0.0, 0.05, 0.2):
+        noise = None
+        if sigma > 0:
+            noise = sigma * jax.random.normal(jax.random.PRNGKey(0),
+                                              (T, n_s))
+        _, rms = integrator.closed_loop(S, vault, modes, turb,
+                                        integrator.IntegratorConfig(0.5),
+                                        slope_noise=noise)
+        errs.append(float(np.asarray(rms)[T // 2:].mean()))
+    assert errs[0] < errs[1] < errs[2]
