@@ -1,2 +1,2 @@
 from . import (checkpoint, config, gridtools, guards, hostcompute,
-               logbook, metrics, photometry, profiling, special)
+               logbook, metrics, photometry, profiling, special, units)
