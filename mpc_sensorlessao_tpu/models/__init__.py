@@ -1,3 +1,3 @@
-from . import (closed_loop, dm, estimator, imaging, integrator, lgs, mpc,
-               pipeline, pyramid, slopes_mmse, solvers, tomography, var,
-               wfs)
+from . import (closed_loop, dm, estimator, imaging, integrator, lgs, mcao,
+               mpc, pipeline, pyramid, slopes_mmse, solvers, tomography,
+               var, wfs)
