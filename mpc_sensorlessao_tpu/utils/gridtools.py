@@ -157,3 +157,25 @@ def gram_schmidt(V: np.ndarray) -> np.ndarray:
             V[:, k] -= (V[:, j] @ V[:, k]) * V[:, j]
         V[:, k] /= np.linalg.norm(V[:, k])
     return V
+
+
+def bilinear_interp_matrix(xi, yi, xo, yo, do: float) -> np.ndarray:
+    """Dense bilinear-spline interpolation matrix: zi = H @ zo.
+
+    H[i, o] = tri((xi-xo)/do) * tri((yi-yo)/do) with tri(x) = max(0,
+    1-|x|) -- the reference's sparse bi-harmonic operator
+    (bilinearSplineInterpMat.m:83-131 `bilinearSplineInterp` /
+    tools.bilinearSparseInterpolator), built dense: the lattices in this
+    framework are small (hundreds of points) and the apply is a single
+    MXU matmul rather than a sparse gather.
+
+    xi, yi: target point coordinates; xo, yo: source lattice point
+    coordinates; do: source lattice pitch (same units).
+    """
+    xi = np.asarray(xi, dtype=np.float64).ravel()
+    yi = np.asarray(yi, dtype=np.float64).ravel()
+    xo = np.asarray(xo, dtype=np.float64).ravel()
+    yo = np.asarray(yo, dtype=np.float64).ravel()
+    u = np.maximum(0.0, 1.0 - np.abs(xi[:, None] - xo[None, :]) / do)
+    v = np.maximum(0.0, 1.0 - np.abs(yi[:, None] - yo[None, :]) / do)
+    return u * v

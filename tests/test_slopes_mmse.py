@@ -263,3 +263,81 @@ def test_frozen_flow_prediction_lag(setup):
             e -= e.mean()
             errs[k].append(np.sqrt((e ** 2).mean()))
     assert np.mean(errs["pred"]) < 0.5 * np.mean(errs["zero"])
+
+
+def test_lgs_infinite_height_matches_ngs(setup):
+    """build_lgs at (numerically) infinite guide-star height must
+    reproduce the NGS reconstructor (g=1, pad=0, identity interp)."""
+    tel, sh = setup
+    m_ngs = slopes_mmse.build(ATM, tel.diameter, NL, sh.valid, 1e-2)
+    m_lgs = slopes_mmse.build_lgs(ATM, tel.diameter, NL, sh.valid, 1e-2,
+                                  lgs_height=float("inf"))
+    rng = np.random.default_rng(3)
+    s = jnp.asarray(rng.normal(size=(2 * sh.n_valid,)), jnp.float32)
+    a = np.asarray(slopes_mmse.reconstruct(m_ngs, s, tel.pixel_pitch))
+    b = np.asarray(slopes_mmse.reconstruct_lgs(m_lgs, s, tel.pixel_pitch))
+    assert np.allclose(a, b, atol=1e-4 * max(1.0, np.abs(a).max()))
+
+
+def test_lgs_cone_reconstruction_beats_ngs_model(setup):
+    """The LGS branch (slopesLinearMMSE.m:128-156): slopes measured
+    through a Rayleigh-beacon cone (H=20 km) on a high layer (8 km,
+    g=0.6) reconstruct the SCIENCE (infinite-height) wavefront; the
+    cone-aware model must beat the NGS model fed the same slopes."""
+    from mpc_sensorlessao_tpu.ops import relay
+    tel, sh = setup
+    pitch = tel.pixel_pitch
+    atm_h = AtmosphereConfig(fractional_r0=(1.0,), altitudes=(8000.0,),
+                             wind_speeds=(5.0,), wind_directions=(0.0,))
+    H = 20e3
+    m_lgs = slopes_mmse.build_lgs(atm_h, tel.diameter, NL, sh.valid,
+                                  1e-6, lgs_height=H)
+    m_ngs = slopes_mmse.build(atm_h, tel.diameter, NL, sh.valid, 1e-6)
+    sub = R // NL
+    idx = np.clip(np.arange(NL + 1) * sub, 0, R - 1)
+    pm = (np.hypot(*np.meshgrid(np.arange(NL + 1) - NL / 2,
+                                np.arange(NL + 1) - NL / 2))
+          <= NL / 2 + 0.5).ravel()
+    e_lgs, e_ngs, turb = [], [], []
+    for s in range(10):
+        scr = jnp.asarray(np.asarray(phase_screens.synthesize_screen(
+            500 + s, atm_h, 192, pitch, oversample=1)))
+        ph_cone = np.array(relay.project_layers(
+            [scr], [pitch], tel.diameter / 2, atm_h.altitudes, R,
+            source_height=H))
+        ph_sci = np.array(relay.project_layers(
+            [scr], [pitch], tel.diameter / 2, atm_h.altitudes, R))
+        slopes = np.asarray(wfs.geometric_slopes(
+            sh, jnp.asarray(ph_cone - ph_cone.mean(), jnp.float32)))
+        truth = (ph_sci - ph_sci.mean())[np.ix_(idx, idx)].ravel()
+        rec_l = np.asarray(slopes_mmse.reconstruct_lgs(
+            m_lgs, jnp.asarray(slopes, jnp.float32), pitch)).ravel()
+        rec_n = np.asarray(slopes_mmse.reconstruct(
+            m_ngs, jnp.asarray(slopes, jnp.float32), pitch)).ravel()
+        for est, acc in ((rec_l, e_lgs), (rec_n, e_ngs)):
+            e = est[pm] - truth[pm]
+            e -= e.mean()
+            acc.append(np.sqrt((e ** 2).mean()))
+        turb.append(truth[pm].std())
+    assert np.mean(e_lgs) < 0.8 * np.mean(e_ngs), (np.mean(e_lgs),
+                                                   np.mean(e_ngs))
+    # and it is a useful reconstruction in absolute terms
+    assert np.mean(e_lgs) < 0.4 * np.mean(turb)
+
+
+def test_bilinear_interp_matrix():
+    """gridtools.bilinear_interp_matrix (bilinearSplineInterpMat.m:
+    83-131): identity on matching lattices, partition of unity inside,
+    exact on affine functions."""
+    from mpc_sensorlessao_tpu.utils import gridtools
+    xo = np.arange(5.0)
+    Yo, Xo = np.meshgrid(xo, xo, indexing="ij")
+    H = gridtools.bilinear_interp_matrix(Xo, Yo, Xo, Yo, 1.0)
+    assert np.allclose(H, np.eye(25))
+    xi = np.linspace(0.3, 3.7, 7)
+    Yi, Xi = np.meshgrid(xi, xi, indexing="ij")
+    H = gridtools.bilinear_interp_matrix(Xi, Yi, Xo, Yo, 1.0)
+    assert np.allclose(H.sum(axis=1), 1.0)
+    z = 2.0 * Xo + 3.0 * Yo - 1.0
+    zi = H @ z.ravel()
+    assert np.allclose(zi, (2.0 * Xi + 3.0 * Yi - 1.0).ravel(), atol=1e-12)
