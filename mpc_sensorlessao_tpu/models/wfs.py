@@ -186,7 +186,10 @@ def camera_slopes(model: SHModel, phase: jnp.ndarray, key,
                   detector=None, n_photons: float = 0.0,
                   threshold=None, quad_cell: bool = False,
                   ref_slopes: jnp.ndarray | None = None,
-                  remove_mean: bool = False) -> jnp.ndarray:
+                  remove_mean: bool = False,
+                  flat_field: jnp.ndarray | float = 0.0,
+                  pixel_gains: jnp.ndarray | float = 1.0,
+                  slopes_units: float = 1.0) -> jnp.ndarray:
     """Full SH camera chain: spots -> detector noise -> thresholding ->
     centroiding -> slopes [rad/px].
 
@@ -209,8 +212,13 @@ def camera_slopes(model: SHModel, phase: jnp.ndarray, key,
     * ``remove_mean``: rmMeanSlopes tip/tilt removal
       (shackHartmann.m:566-571).  (The reference also declares
       matchedFilter/correlation algorithm flags, but their processing
-      branches are EMPTY stubs -- shackHartmann.m:562-563 -- so there is
-      no behavior to match.)
+      branches are EMPTY stubs -- shackHartmann.m:562-563 and
+      lensletProcessing.m:205-206 -- so there is no behavior to match.)
+    * ``flat_field``/``pixel_gains``: per-pixel camera calibration
+      applied to the raw frames before thresholding,
+      buffer = (frame - flatField) / pixelGains
+      (lensletProcessing.m:181); scalars or (w, w) / (nl^2, w, w) maps.
+    * ``slopes_units``: output unit scale (lensletProcessing.m:47,208).
 
     Single phase map; vmap over batches (split keys per scenario).
     """
@@ -224,6 +232,7 @@ def camera_slopes(model: SHModel, phase: jnp.ndarray, key,
         inten = inten * (n_photons / (mean_flux + 1e-20))
     if detector is not None:
         inten = imaging.read_out(detector, key, inten)
+    inten = (inten - flat_field) / pixel_gains
     if threshold is not None:
         if np.ndim(threshold) == 0:
             t = jnp.asarray(threshold, dtype=inten.dtype)
@@ -239,6 +248,7 @@ def camera_slopes(model: SHModel, phase: jnp.ndarray, key,
     s = jnp.concatenate([cx[sel], cy[sel]]) * scale
     if ref_slopes is not None:
         s = s - ref_slopes
+    s = s * slopes_units
     if remove_mean:
         # rmMeanSlopes (shackHartmann.m:566-571): subtract the mean x
         # and mean y slope (tip/tilt removal at the slopes level)

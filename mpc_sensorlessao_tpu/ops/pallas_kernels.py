@@ -112,6 +112,121 @@ def _psf_div_kernel(phase_ref, pupil_ref, cosd_ref, sind_ref, are_ref,
             out_ref[b, d] = (orr * orr + oi * oi) * scale
 
 
+def _psf_div3_sym_kernel(phase_ref, pupil_ref, pcd_ref, psd_ref, are_ref,
+                         aim_ref, out_ref, *, scale: float, chunk: int,
+                         compute_dtype=None):
+    """Symmetric diversity triple (-a, 0, +a) of a CHUNK of scenarios.
+
+    Exploits cos(-a Z) = cos(a Z), sin(-a Z) = -sin(a Z): with
+    pcd = pupil cos(a Z4), psd = pupil sin(a Z4) precomputed, the three
+    diversity fields are +/- combinations of FOUR products of the
+    scenario cos/sin with constant maps -- and because the DFT stage is
+    linear, the +/- combination is applied AFTER the matmul on the thin
+    (2w, 2R) row intermediate instead of on R^2 fields.  Per scenario:
+    6 R^2 multiplies and 0 R^2 adds (vs 12 and 6 for the general
+    kernel), and the per-program constant set shrinks from 7 to 3 maps
+    (bigger scenario chunks in the same VMEM budget).
+    """
+    pup = pupil_ref[:]
+    w = are_ref.shape[0]
+    R = pup.shape[-1]
+    A2 = jnp.concatenate([are_ref[:], aim_ref[:]], axis=0)    # (2w, R)
+    dt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+    if dt is not None:
+        A2 = A2.astype(dt)
+    dn = (((1,), (1,)), ((), ()))
+    pcd = pcd_ref[:]
+    psd = psd_ref[:]
+
+    def crop(S1):
+        rr = S1[:w, :R] - S1[w:, R:]
+        ri = S1[:w, R:] + S1[w:, :R]
+        G = jnp.concatenate([rr, ri], axis=0)                 # (2w, R)
+        if dt is not None:
+            G = G.astype(dt)
+        S2 = jax.lax.dot_general(G, A2, dn,
+                                 preferred_element_type=jnp.float32)
+        orr = S2[:w, :w] - S2[w:, w:]
+        oi = S2[:w, w:] + S2[w:, :w]
+        return (orr * orr + oi * oi) * scale
+
+    for b in range(chunk):
+        p = phase_ref[b]
+        cp = jnp.cos(p)
+        sp = jnp.sin(p)
+        # field(+a) = (t1 - t2, t3 + t4); field(-a) = (t1 + t2, t3 - t4)
+        T13 = jnp.concatenate([cp * pcd, sp * pcd], axis=1)   # (R, 2R)
+        T24 = jnp.concatenate([sp * psd, cp * psd], axis=1)   # (R, 2R)
+        F0 = jnp.concatenate([pup * cp, pup * sp], axis=1)    # (R, 2R)
+        if dt is not None:
+            T13 = T13.astype(dt)
+            T24 = T24.astype(dt)
+            F0 = F0.astype(dt)
+        U = jnp.dot(A2, T13, preferred_element_type=jnp.float32)
+        W = jnp.dot(A2, T24, preferred_element_type=jnp.float32)
+        # S1(+/-a) = [U_L -/+ W_L | U_R +/- W_R] on the (2w, 2R) rows
+        Sm = jnp.concatenate([U[:, :R] + W[:, :R],
+                              U[:, R:] - W[:, R:]], axis=1)
+        Sp = jnp.concatenate([U[:, :R] - W[:, :R],
+                              U[:, R:] + W[:, R:]], axis=1)
+        out_ref[b, 0] = crop(Sm)
+        out_ref[b, 1] = crop(
+            jnp.dot(A2, F0, preferred_element_type=jnp.float32))
+        out_ref[b, 2] = crop(Sp)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "compute_dtype"))
+def psf_crop_diversity_sym3(phase, pupil, cos_a, sin_a, dft_op,
+                            scale: float, interpret: bool = False,
+                            compute_dtype: str | None = None):
+    """Fused diversity-PSF crops for the symmetric triple (-a, 0, +a).
+
+    ``cos_a``/``sin_a`` are cos/sin of the POSITIVE diversity map
+    (a * Z_defocus); outputs are ordered (-a, 0, +a) to match
+    `psf_crop_diversity` with the reference's zd stack (README.md:461).
+    """
+    B, R, _ = phase.shape
+    w = dft_op.shape[1]
+    pcd = pupil * cos_a
+    psd = pupil * sin_a
+    itm = R * R * 4
+    # constants: pupil + pcd + psd + DFT operators; ~6 R^2 floats of
+    # kernel scratch (cos/sin + the packed (R, 2R) operands)
+    const = 3 * itm + 4 * w * R * 4
+    budget = int((15.5 * 1024 * 1024 - const - 6 * itm) // (2 * itm))
+    chunk = max(1, min(8, budget))
+    while B % chunk:
+        chunk -= 1
+    kernel = functools.partial(_psf_div3_sym_kernel, scale=scale,
+                               chunk=chunk, compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, R, R), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, 3, w, w),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, w, w), jnp.float32),
+        interpret=interpret,
+    )(phase.astype(jnp.float32), pupil.astype(jnp.float32),
+      pcd.astype(jnp.float32), psd.astype(jnp.float32),
+      dft_op[0], dft_op[1])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("scale", "interpret", "compute_dtype"))
 def psf_crop_diversity(phase, pupil, div_cos, div_sin, dft_op,

@@ -189,3 +189,30 @@ def test_quad_cell_sign_and_zero_reference():
     assert s[:n].mean() * np.asarray(
         wfs.geometric_slopes(sh, tilt))[:n].mean() > 0   # same sign
     assert np.abs(s[n:]).max() < 0.2 * np.abs(s[:n]).mean()  # x-tilt only
+
+
+def test_flat_field_pixel_gains_units():
+    """Camera calibration chain (lensletProcessing.m:181,208): a uniform
+    pixel gain cancels in the centroid; a flat-field offset biases raw
+    frames but is removed when calibrated; slopes_units scales output."""
+    import jax
+    sh = wfs.build(80, n_lenslet=10)
+    yy, xx = np.meshgrid(np.arange(80), np.arange(80), indexing="ij")
+    tilt = jnp.asarray(0.02 * (xx - 40), dtype=jnp.float32)
+    ref = wfs.reference_slopes(sh)
+    key = jax.random.PRNGKey(0)
+    base = np.asarray(wfs.camera_slopes(sh, tilt, key, ref_slopes=ref))
+    # center-of-mass is scale invariant -> uniform gain is a no-op
+    gain = np.asarray(wfs.camera_slopes(sh, tilt, key, ref_slopes=ref,
+                                        pixel_gains=3.7))
+    np.testing.assert_allclose(gain, base, atol=1e-6)
+    # an uncalibrated additive background (emulated by a NEGATIVE
+    # flat_field: subtracting -bias adds it) pulls centroids toward 0
+    bias = 0.05 * float(np.asarray(wfs.spot_frames(sh, tilt)).max())
+    biased = np.asarray(wfs.camera_slopes(sh, tilt, key, ref_slopes=ref,
+                                          flat_field=-bias))
+    assert np.abs(biased).sum() < np.abs(base).sum()
+    # slopes_units is a pure output scale
+    u = np.asarray(wfs.camera_slopes(sh, tilt, key, ref_slopes=ref,
+                                     slopes_units=2.0))
+    np.testing.assert_allclose(u, 2.0 * base, rtol=1e-6, atol=1e-7)
