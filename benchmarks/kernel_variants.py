@@ -44,38 +44,51 @@ def main():
     dc, ds = put(np.cos(div)), put(np.sin(div))
     ca, sa = put(np.cos(a * z4)), put(np.sin(a * z4))
 
-    def scanner(fn):
+    def scanner(fn, n):
         @jax.jit
         def run(p0):
             def step(p, _):
                 y = fn(p)
-                # fold the crop back in so successive steps differ and
-                # nothing is hoisted out of the scan
-                p = p + 1e-6 * jnp.sum(y) * jnp.ones_like(p)
-                return p, jnp.sum(y)
-            _, ys = jax.lax.scan(step, p0, None, length=steps)
+                # fold a scalar back in so successive steps differ and
+                # nothing is hoisted out of the scan (scalar update --
+                # no extra O(R^2) HBM traffic in the harness)
+                s = jnp.sum(y)
+                p = p * (1.0 + 1e-12 * s)
+                return p, s
+            _, ys = jax.lax.scan(step, p0, None, length=n)
             return ys
         return run
 
     variants = {
-        "general": scanner(lambda p: pk.psf_crop_diversity(
-            p, pup_d, dc, ds, dop_d, scale)),
-        "sym3": scanner(lambda p: pk.psf_crop_diversity_sym3(
-            p, pup_d, ca, sa, dop_d, scale)),
+        "general": lambda p: pk.psf_crop_diversity(
+            p, pup_d, dc, ds, dop_d, scale),
+        "sym3": lambda p: pk.psf_crop_diversity_sym3(
+            p, pup_d, ca, sa, dop_d, scale),
     }
 
     out = {"R": R, "B": B, "steps": steps,
            "device": str(dev.device_kind)}
     ref = None
-    for name, run in variants.items():
-        y = run(phase_d)
-        y.block_until_ready()                      # compile + warm
+
+    def best_of(run, k=4):
         best = np.inf
-        for _ in range(5):
+        for _ in range(k):
             t0 = time.perf_counter()
             run(phase_d).block_until_ready()
             best = min(best, time.perf_counter() - t0)
-        us = best / (steps * B) * 1e6
+        return best
+
+    for name, fn in variants.items():
+        # two scan lengths; the difference cancels the per-dispatch
+        # tunnel latency (~22-30 ms) that dwarfs short scans
+        short = scanner(fn, steps)
+        long = scanner(fn, 2 * steps)
+        y = short(phase_d)
+        y.block_until_ready()
+        long(phase_d).block_until_ready()
+        t1 = best_of(short)
+        t2 = best_of(long)
+        us = (t2 - t1) / (steps * B) * 1e6
         out[name + "_us_per_scen"] = round(us, 2)
         v = float(np.sum(np.asarray(y)))
         if ref is None:
