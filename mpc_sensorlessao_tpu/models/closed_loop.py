@@ -145,16 +145,25 @@ def simulate(
     track = cfg.estimator.track_gn_iters
 
     def step(carry, idx):
-        u1, u2, u3, x_pre, x_pre2, phase_cor, eflow = carry
+        u1, u2, u3, x_pre, x_pre2, ad_cor, eflow = carry
 
         # -- turbulence + correction (README.md:447-453) --
+        # The DM correction is carried as MODAL coefficients (nx,) and
+        # synthesized here, at its single point of use: under vmap the
+        # (R, R) phase-map carry would be a per-scenario HBM round-trip
+        # every scan iteration, while the einsum output fuses straight
+        # into the residual add (measured ~2 us/scenario at R=512).
         if edge_model is not None:
             eflow, raw = edge_flow_mod.advance(
                 edge_model, eflow, start_step + idx, turb_key)
         else:
             raw = phase_screens.phase_at(layers, start_step + idx, R)
-        phase_turb = zernike.piston_removed_phase_masked(
-            raw, models.mask, models.mask_npix) * mag
+        # piston-removed screen BEFORE the mag scaling: shared across
+        # scenarios in shared-window batches (vmap keeps it unbatched)
+        pt_unit = zernike.piston_removed_phase_masked(
+            raw, models.mask, models.mask_npix)
+        phase_turb = pt_unit * mag
+        phase_cor = jnp.einsum("k,kij->ij", ad_cor, models.state_stack)
         phase_res = phase_turb + phase_cor
 
         # -- estimator (README.md:457-480) --
@@ -272,13 +281,15 @@ def simulate(
         u = U[:nu_dim]
         volts = dm_model.rad_to_volts(
             u, cfg.dm.coeff_a, cfg.dm.coeff_b, cfg.estimator.rad_to_nm)
-        ad_cor = models.influence @ u
-        phase_cor_new = jnp.einsum("k,kij->ij", ad_cor, models.state_stack)
+        ad_cor_new = models.influence @ u
 
         x_pred = mpc.predicted_states(models.mats, U, x_free)
         cost = mpc.cost(models.mats, U, r, c)
         rms_res = _pupil_rms(models, phase_res)
-        rms_turb = _pupil_rms(models, phase_turb)
+        # pt_unit is masked-mean-removed, so rms(phase_turb) = mag *
+        # rms(pt_unit) exactly -- and rms(pt_unit) stays UNBATCHED under
+        # vmap in shared-window batches (one reduction instead of B)
+        rms_turb = mag * _pupil_rms(models, pt_unit)
 
         # exact Strehl from the already-computed zd=0 diversity crop
         # (the middle w^2 block of y_clean; div order is (-amp, 0, +amp))
@@ -294,25 +305,24 @@ def simulate(
             strehl=jnp.exp(-rms_res ** 2),
             strehl_exact=strehl_exact,
         )
-        return (u, u1, u2, x0, x_pre, phase_cor_new, eflow), out
+        return (u, u1, u2, x0, x_pre, ad_cor_new, eflow), out
 
     if init_u is not None:
         # acquisition warm start (MPCConfig.warm_start): pre-load the DM
         # with the calibration-handover command so step 0 sees only the
         # prediction error
         u_init = init_u.astype(jnp.float32)
-        pc_init = jnp.einsum("k,kij->ij", models.influence @ u_init,
-                             models.state_stack)
+        ad_init = models.influence @ u_init
     else:
         u_init = jnp.zeros((nu_dim,), dtype=jnp.float32)
-        pc_init = jnp.zeros((R, R), dtype=jnp.float32)
+        ad_init = jnp.zeros((nx,), dtype=jnp.float32)
     init = (
         u_init,
         jnp.zeros((nu_dim,), dtype=jnp.float32),
         jnp.zeros((nu_dim,), dtype=jnp.float32),
         jnp.zeros((nx,), dtype=jnp.float32),
         jnp.zeros((nx,), dtype=jnp.float32),
-        pc_init,
+        ad_init,
         edge_state,
     )
     _, outputs = jax.lax.scan(step, init, jnp.arange(n_steps))
