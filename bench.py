@@ -37,6 +37,11 @@ def main():
     solver = os.environ.get("BENCH_SOLVER", "fastmpc")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     dft_dtype = os.environ.get("BENCH_DFT_DTYPE", "float32")
+    # 0 = the reference's linear-LS estimator exactly (README.md:478);
+    # each extra iteration re-runs the fused PSF measure (the dominant
+    # stage) once more per step to widen the capture range -- a
+    # robustness extension the reference does not have.
+    gn = int(os.environ.get("BENCH_GN", "0"))
 
     from mpc_sensorlessao_tpu.models import pipeline
     from mpc_sensorlessao_tpu.parallel import montecarlo
@@ -48,7 +53,8 @@ def main():
         sim=dataclasses.replace(cfg.sim, n_train=300, n_valid=50,
                                 n_test=steps),
         estimator=dataclasses.replace(cfg.estimator,
-                                      dft_dtype=dft_dtype))
+                                      dft_dtype=dft_dtype,
+                                      gauss_newton_iters=gn))
 
     t0 = time.time()
     system = pipeline.build(cfg, jax.random.PRNGKey(0))
@@ -87,6 +93,7 @@ def main():
         "batch": batch,
         "steps": steps,
         "solver": solver,
+        "gauss_newton_iters": gn,
         "device": str(jax.devices()[0]),
         # exact OTF-volume Strehl (imager.m:115) is the headline metric;
         # the Marechal approximation is kept for comparison

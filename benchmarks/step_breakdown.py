@@ -125,7 +125,13 @@ def main():
     out["measure_us"] = round(
         timed_scan(meas_step, (ph0, jnp.int32(0)), steps) * us, 2)
 
-    # 3. estimate + QP assembly + fixed-Newton solve (per scenario)
+    # 3. estimate + QP assembly + fixed-Newton solve (per scenario).
+    # NOTE: gauss_newton_iters >= 1 re-runs the fused PSF measure once
+    # per iteration inside the estimate -- with the default gn=1 this
+    # stage costs ~as much as stage 2 again (the round-3 knockout
+    # finding: benchmarks/step_knockouts.py); gn=0 is the reference's
+    # linear estimator and makes this stage negligible.
+    gn = cfg.estimator.gauss_newton_iters
     y0 = jnp.asarray(
         np.random.default_rng(1).normal(size=(B, est.n_pixels)) * 0.1,
         jnp.float32) + est.b_s
@@ -134,7 +140,11 @@ def main():
         y, u1, u2, xp = carry
 
         def one(yb, u1b, u2b, xpb):
-            x0 = estimator.estimate(est, yb)
+            if gn > 0:
+                x0 = estimator.estimate_gauss_newton(
+                    est, yb, models.state_stack, gn)
+            else:
+                x0 = estimator.estimate(est, yb)
             bref = mpc.b_ref(models.mats, u1b, u2b)
             r, c, x_free = mpc.gradient_terms(models.mats, x0, xpb, bref)
             state = newton_kkt.solve_fixed(

@@ -51,12 +51,16 @@ from mpc_sensorlessao_tpu.utils.config import reference_config  # noqa: E402
 
 
 def build_step(models, layers, cfg, key, start_step, *, clean_split=True,
-               exact_strehl=True, rms=True, noise_on=True, telemetry=True):
+               exact_strehl=True, rms=True, noise_on=True, telemetry=True,
+               gn=None):
     """One scenario's step(carry, idx) with knockout flags.
 
-    With every flag True this is line-for-line the fastmpc/newton=1 path
-    of closed_loop.simulate (models/closed_loop.py step()).
+    With every flag True (and gn=None -> cfg) this is line-for-line the
+    fastmpc/newton=1 path of closed_loop.simulate
+    (models/closed_loop.py step()).
     """
+    if gn is None:
+        gn = cfg.estimator.gauss_newton_iters
     R = cfg.resolution
     nu = models.influence.shape[1]
     N = cfg.mpc.horizon
@@ -82,7 +86,11 @@ def build_step(models, layers, cfg, key, start_step, *, clean_split=True,
         else:
             y = estimator.measure(models.est, phase_res, noise)
             y_clean = y
-        x0 = estimator.estimate(models.est, y)
+        if gn > 0:
+            x0 = estimator.estimate_gauss_newton(
+                models.est, y, models.state_stack, gn)
+        else:
+            x0 = estimator.estimate(models.est, y)
 
         bref = mpc.b_ref(models.mats, u1, u2)
         r, c, x_free = mpc.gradient_terms(models.mats, x0, x_pre, bref)
@@ -104,6 +112,21 @@ def build_step(models, layers, cfg, key, start_step, *, clean_split=True,
         if exact_strehl:
             outs += [jnp.max(y_clean[w2:2 * w2])
                      / jnp.max(models.est.b_s[w2:2 * w2])]
+        if telemetry == "stacked":
+            # the real StepOutputs shape: one scan output per field
+            # (11 separate per-iteration dynamic-update-slices)
+            volts = outs[0] * 17.2
+            ys = (u, u - u1, volts, x0, outs[1], outs[2], outs[3],
+                  outs[4], outs[5], jnp.exp(-outs[4] ** 2), outs[6])
+            return (u, u1, x0, ad_cor_new, mag, noise_scale), ys
+        if telemetry == "packed":
+            # one concatenated row per iteration: a single update-slice
+            volts = outs[0] * 17.2
+            flat = jnp.concatenate(
+                [u, u - u1, volts, x0,
+                 jnp.stack([outs[1], outs[2], outs[3], outs[4], outs[5],
+                            jnp.exp(-outs[4] ** 2), outs[6]])])
+            return (u, u1, x0, ad_cor_new, mag, noise_scale), flat
         return ((u, u1, x0, ad_cor_new, mag, noise_scale),
                 sum(jnp.sum(o) for o in outs))
 
@@ -149,7 +172,19 @@ def main():
         "no_noise": dict(noise_on=False),
         "lean": dict(clean_split=False, exact_strehl=False, rms=False,
                      noise_on=False, telemetry=False),
+        # telemetry layout A/B: per-field stacking (the round-2
+        # closed_loop.StepOutputs shape) vs one packed row per step
+        "stacked": dict(telemetry="stacked"),
+        "packed": dict(telemetry="packed"),
+        # the round-3 finding: the default gn=1 runs the fused PSF
+        # measure TWICE per step (y and the Gauss-Newton re-measure);
+        # gn=0 is the reference's linear estimator (README.md:478)
+        "gn0": dict(gn=0),
+        "gn1": dict(gn=1),
     }
+    if len(sys.argv) > 4:
+        only = sys.argv[4].split(",")
+        variants = {k: v for k, v in variants.items() if k in only}
     for name, kw in variants.items():
         def make(n, kw=kw):
             @jax.jit
@@ -161,7 +196,7 @@ def main():
                             jnp.zeros((nx,), jnp.float32),
                             jnp.zeros((nx,), jnp.float32), mag, nsc)
                     _, ys = jax.lax.scan(step, init, jnp.arange(n))
-                    return jnp.sum(ys)
+                    return sum(jnp.sum(y) for y in jax.tree.leaves(ys))
                 k, m, nsc = carries
                 return jnp.sum(jax.vmap(one)(k, m, nsc))
             return run

@@ -297,14 +297,19 @@ def simulate(
         strehl_exact = (jnp.max(y_clean[w2:2 * w2])
                         / jnp.max(models.est.b_s[w2:2 * w2]))
 
-        out = StepOutputs(
-            u=u, du=u - u1, volts=volts, x_est=x0,
-            x_est_norm=jnp.linalg.norm(x0),
-            x_pred_norm=jnp.linalg.norm(x_pred[:nx]),
-            cost=cost, rms_res=rms_res, rms_turb=rms_turb,
-            strehl=jnp.exp(-rms_res ** 2),
-            strehl_exact=strehl_exact,
-        )
+        # ONE packed row per step: emitting the 11 StepOutputs fields as
+        # separate scan outputs costs 11 per-iteration dynamic-update-
+        # slices of tiny awkwardly-tiled arrays -- measured 13 us/scenario
+        # at R=512 B=256 on v5e (half the whole step!) vs ~0 for a single
+        # packed (3 nu + nx + 7,) row; unpacked into StepOutputs after
+        # the scan (benchmarks/step_knockouts.py).
+        out = jnp.concatenate([
+            u, u - u1, volts, x0,
+            jnp.stack([jnp.linalg.norm(x0),
+                       jnp.linalg.norm(x_pred[:nx]),
+                       cost, rms_res, rms_turb,
+                       jnp.exp(-rms_res ** 2), strehl_exact]),
+        ])
         return (u, u1, u2, x0, x_pre, ad_cor_new, eflow), out
 
     if init_u is not None:
@@ -325,8 +330,20 @@ def simulate(
         ad_init,
         edge_state,
     )
-    _, outputs = jax.lax.scan(step, init, jnp.arange(n_steps))
-    return outputs
+    _, packed = jax.lax.scan(step, init, jnp.arange(n_steps))
+    # unpack the (n_steps, 3 nu + nx + 7) telemetry rows (see step())
+    cols = [nu_dim, nu_dim, nu_dim, nx]
+    ofs = [0]
+    for c in cols:
+        ofs.append(ofs[-1] + c)
+    s = ofs[-1]
+    return StepOutputs(
+        u=packed[:, ofs[0]:ofs[1]], du=packed[:, ofs[1]:ofs[2]],
+        volts=packed[:, ofs[2]:ofs[3]], x_est=packed[:, ofs[3]:ofs[4]],
+        x_est_norm=packed[:, s], x_pred_norm=packed[:, s + 1],
+        cost=packed[:, s + 2], rms_res=packed[:, s + 3],
+        rms_turb=packed[:, s + 4], strehl=packed[:, s + 5],
+        strehl_exact=packed[:, s + 6])
 
 
 @partial(jax.jit, static_argnames=("n_steps", "start_step", "resolution"))
