@@ -106,9 +106,21 @@ def build_step(models, layers, cfg, key, start_step, *, clean_split=True,
             outs += [jnp.linalg.norm(x0),
                      jnp.linalg.norm(x_pred[:models.influence.shape[0]]),
                      mpc.cost(models.mats, U, r, c)]
-        if rms:
+        if rms == "reduction":
+            # the pre-round-3 layout: batched (B, R^2) reduction
             rms_res = closed_loop._pupil_rms(models, phase_res)
             outs += [rms_res, mag * closed_loop._pupil_rms(models, pt_unit)]
+        elif rms:
+            # the shipped algebraic path (closed_loop.step telemetry)
+            rms_pt = closed_loop._pupil_rms(models, pt_unit)
+            ct = jnp.einsum("kij,ij->k", models.state_stack,
+                            pt_unit) / models.mask_npix
+            var_res = ((mag * rms_pt) ** 2
+                       + 2.0 * mag * jnp.dot(ad_cor, ct)
+                       + ad_cor @ models.mode_gram @ ad_cor
+                       - jnp.dot(ad_cor, models.mode_mean) ** 2)
+            rms_res = jnp.sqrt(jnp.maximum(var_res, 0.0))
+            outs += [rms_res, mag * rms_pt]
         if exact_strehl:
             outs += [jnp.max(y_clean[w2:2 * w2])
                      / jnp.max(models.est.b_s[w2:2 * w2])]
@@ -181,6 +193,7 @@ def main():
         # gn=0 is the reference's linear estimator (README.md:478)
         "gn0": dict(gn=0),
         "gn1": dict(gn=1),
+        "rms_reduction": dict(rms="reduction"),
     }
     if len(sys.argv) > 4:
         only = sys.argv[4].split(",")

@@ -45,6 +45,12 @@ class LoopModels(NamedTuple):
     state_stack: jnp.ndarray      # (nx, R, R) Zernike modes excl. piston
     mask: jnp.ndarray             # (R, R) pupil mask
     mask_npix: jnp.ndarray        # scalar
+    # discrete pupil moments of the state modes (zernike.make_basis):
+    # mean_pupil(Z_j Z_k) and mean_pupil(Z_k) -- used by the algebraic
+    # residual-RMS telemetry (see step()); None in hand-built fixtures
+    # (the step then falls back to the (R, R) reduction)
+    mode_gram: jnp.ndarray = None     # (nx, nx)
+    mode_mean: jnp.ndarray = None     # (nx,)
 
 
 class StepOutputs(NamedTuple):
@@ -86,6 +92,9 @@ def make_loop_models(basis, est, dm_mod, mats, prob,
         mask=mask,
         mask_npix=jnp.asarray(float(np.asarray(mask).sum()),
                               dtype=jnp.float32),
+        mode_gram=(None if basis.gram is None else basis.gram[1:, 1:]),
+        mode_mean=(None if basis.mode_mean is None
+                   else basis.mode_mean[1:]),
     )
 
 
@@ -285,11 +294,30 @@ def simulate(
 
         x_pred = mpc.predicted_states(models.mats, U, x_free)
         cost = mpc.cost(models.mats, U, r, c)
-        rms_res = _pupil_rms(models, phase_res)
         # pt_unit is masked-mean-removed, so rms(phase_turb) = mag *
         # rms(pt_unit) exactly -- and rms(pt_unit) stays UNBATCHED under
         # vmap in shared-window batches (one reduction instead of B)
-        rms_turb = mag * _pupil_rms(models, pt_unit)
+        rms_pt = _pupil_rms(models, pt_unit)
+        rms_turb = mag * rms_pt
+        if models.mode_gram is not None:
+            # algebraic residual RMS: with p = mag pt + sum_k ad_k Z_k
+            # (both zero outside the pupil, pt pupil-mean-removed),
+            #   mean(p^2) = mag^2 rms(pt)^2 + 2 mag ad.ct + ad'G ad
+            #   mean(p)   = ad.mbar
+            # with ct_k = mean_pupil(pt Z_k) (UNBATCHED: one stack pass
+            # per step, amortized over the scenario batch), G/mbar the
+            # precomputed mode moments -- O(nx^2) per scenario instead
+            # of a batched (B, R^2) reduction (~13% of the R=512 step,
+            # benchmarks/step_knockouts.py no_rms).
+            ct = jnp.einsum("kij,ij->k", models.state_stack,
+                            pt_unit) / models.mask_npix
+            var_res = ((mag * rms_pt) ** 2
+                       + 2.0 * mag * jnp.dot(ad_cor, ct)
+                       + ad_cor @ models.mode_gram @ ad_cor
+                       - jnp.dot(ad_cor, models.mode_mean) ** 2)
+            rms_res = jnp.sqrt(jnp.maximum(var_res, 0.0))
+        else:
+            rms_res = _pupil_rms(models, phase_res)
 
         # exact Strehl from the already-computed zd=0 diversity crop
         # (the middle w^2 block of y_clean; div order is (-amp, 0, +amp))

@@ -119,6 +119,14 @@ class ZernikeBasis(NamedTuple):
     n_arr: jnp.ndarray
     m_arr: jnp.ndarray
     radial_order: int
+    # Discrete-grid pupil moments of the modes (f64 precompute):
+    #   gram[j,k] = mean_pupil(Z_j Z_k),  mode_mean[k] = mean_pupil(Z_k).
+    # On the discrete masked grid these are NOT exactly delta_jk / 0 --
+    # they let consumers evaluate pupil statistics of modal phases
+    # algebraically (e.g. closed_loop's O(nx^2) residual RMS instead of
+    # a batched (B, R^2) reduction).
+    gram: jnp.ndarray | None = None
+    mode_mean: jnp.ndarray | None = None
 
     @property
     def n_modes(self) -> int:
@@ -169,6 +177,8 @@ def make_basis(
         n_arr=jnp.asarray([n for n, _ in modes]),
         m_arr=jnp.asarray([m for _, m in modes]),
         radial_order=radial_order,
+        gram=jnp.asarray(z_in.T @ z_in / P, dtype=dtype),
+        mode_mean=jnp.asarray(z_in.sum(axis=0) / P, dtype=dtype),
     )
 
 
