@@ -77,3 +77,61 @@ def test_piston_removal():
     inside = np.asarray(out)[mask]
     assert abs(inside.mean()) < 1e-5
     assert np.all(np.asarray(out)[~mask] == 0)
+
+
+def test_basis_pupil_moments():
+    """gram/mode_mean are the discrete pupil moments of the modes --
+    the closed loop's algebraic residual-RMS telemetry depends on them
+    matching explicit reductions exactly (closed_loop.step)."""
+    import numpy as np
+
+    basis = zernike.make_basis(5, 96)
+    stack = np.asarray(basis.stack, np.float64)
+    mask = np.asarray(basis.mask)
+    n = mask.sum()
+    K = stack.shape[0]
+    flat = stack[:, mask]                                   # (K, n)
+    np.testing.assert_allclose(np.asarray(basis.gram),
+                               flat @ flat.T / n, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(basis.mode_mean),
+                               flat.sum(axis=1) / n, rtol=1e-5, atol=1e-6)
+    # the reference basis is UNNORMALIZED zernfun (README.md:84), so the
+    # gram diagonal is the per-mode pupil variance, not 1 -- but the
+    # modes are still near-orthogonal and non-piston means near zero
+    g = np.asarray(basis.gram, np.float64)
+    d = np.sqrt(np.diag(g))
+    corr = g / np.outer(d, d)
+    assert np.abs(corr - np.eye(K)).max() < 0.05
+    assert np.abs(np.asarray(basis.mode_mean)[1:]).max() < 0.05
+    assert abs(float(basis.mode_mean[0]) - 1.0) < 1e-6
+
+
+def test_algebraic_rms_matches_reduction():
+    """closed_loop residual-RMS telemetry: algebraic mode-moment path
+    vs the explicit masked reduction, on random modal content."""
+    import numpy as np
+    from mpc_sensorlessao_tpu.models import closed_loop
+
+    basis = zernike.make_basis(5, 96)
+    rng = np.random.default_rng(3)
+    npix = jnp.asarray(float(np.asarray(basis.mask).sum()), jnp.float32)
+    pt = zernike.piston_removed_phase_masked(
+        jnp.asarray(rng.normal(size=(96, 96)), jnp.float32),
+        basis.mask, npix)
+    ad = jnp.asarray(rng.normal(size=(basis.n_modes - 1,)) * 0.5,
+                     jnp.float32)
+    mag = 1.7
+    stack = basis.stack[1:]
+    phase = mag * pt + jnp.einsum("k,kij->ij", ad, stack)
+
+    class M:
+        mask = basis.mask
+        mask_npix = npix
+
+    rms_red = float(closed_loop._pupil_rms(M, phase))
+    rms_pt = float(closed_loop._pupil_rms(M, pt))
+    ct = jnp.einsum("kij,ij->k", stack, pt) / npix
+    var = ((mag * rms_pt) ** 2 + 2.0 * mag * float(jnp.dot(ad, ct))
+           + float(ad @ basis.gram[1:, 1:] @ ad)
+           - float(jnp.dot(ad, basis.mode_mean[1:])) ** 2)
+    assert abs(np.sqrt(max(var, 0.0)) - rms_red) < 5e-5
