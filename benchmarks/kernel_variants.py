@@ -64,6 +64,8 @@ def main():
             p, pup_d, dc, ds, dop_d, scale),
         "sym3": lambda p: pk.psf_crop_diversity_sym3(
             p, pup_d, ca, sa, dop_d, scale),
+        "sym3_thin": lambda p: pk.psf_crop_diversity_sym3_thin(
+            p, pup_d, ca, sa, dop_d, scale),
     }
 
     out = {"R": R, "B": B, "steps": steps,

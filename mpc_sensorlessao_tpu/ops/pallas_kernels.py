@@ -175,6 +175,112 @@ def _psf_div3_sym_kernel(phase_ref, pupil_ref, pcd_ref, psd_ref, are_ref,
         out_ref[b, 2] = crop(Sp)
 
 
+def _psf_div3_sym_thin_kernel(phase_ref, pupil_ref, pcd_ref, psd_ref,
+                              are_ref, aim_ref, out_ref, *, scale: float,
+                              chunk: int, compute_dtype=None):
+    """sym3 with the +/- recombination done ENTIRELY on thin rows.
+
+    The base sym3 kernel concatenates the four (R, R) products into
+    (R, 2R) packed operands -- 6 R^2 VMEM copies per scenario on top of
+    the 6 R^2 required multiplies.  Here each product feeds the packed
+    DFT matmul directly (6 matmuls of (2w, R) x (R, R), same FLOPs as
+    the 3 packed ones) and every +/- combination happens on (w, R) row
+    intermediates (2w R << R^2).  Zero R^2-sized copies.
+    """
+    pup = pupil_ref[:]
+    w = are_ref.shape[0]
+    A2 = jnp.concatenate([are_ref[:], aim_ref[:]], axis=0)    # (2w, R)
+    dt = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+    if dt is not None:
+        A2 = A2.astype(dt)
+    dn = (((1,), (1,)), ((), ()))
+    pcd = pcd_ref[:]
+    psd = psd_ref[:]
+
+    def crop(rr, ri):
+        G = jnp.concatenate([rr, ri], axis=0)                 # (2w, R)
+        if dt is not None:
+            G = G.astype(dt)
+        S2 = jax.lax.dot_general(G, A2, dn,
+                                 preferred_element_type=jnp.float32)
+        orr = S2[:w, :w] - S2[w:, w:]
+        oi = S2[:w, w:] + S2[w:, :w]
+        return (orr * orr + oi * oi) * scale
+
+    def mm(x):
+        if dt is not None:
+            x = x.astype(dt)
+        return jnp.dot(A2, x, preferred_element_type=jnp.float32)
+
+    for b in range(chunk):
+        p = phase_ref[b]
+        cp = jnp.cos(p)
+        sp = jnp.sin(p)
+        # U_k = [Are; Aim] @ t_k for the four diversity products and the
+        # two zero-diversity fields
+        U1 = mm(cp * pcd)
+        U2 = mm(sp * psd)
+        U3 = mm(sp * pcd)
+        U4 = mm(cp * psd)
+        F0r = mm(pup * cp)
+        F0i = mm(pup * sp)
+        # field(+a) = (t1 - t2) + i (t3 + t4); field(-a) = conj-pattern
+        # rr = Are fr - Aim fi, ri = Are fi + Aim fr  on thin rows
+        out_ref[b, 0] = crop(U1[:w] + U2[:w] - U3[w:] + U4[w:],
+                             U3[:w] - U4[:w] + U1[w:] + U2[w:])
+        out_ref[b, 1] = crop(F0r[:w] - F0i[w:], F0i[:w] + F0r[w:])
+        out_ref[b, 2] = crop(U1[:w] - U2[:w] - U3[w:] - U4[w:],
+                             U3[:w] + U4[:w] + U1[w:] - U2[w:])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("scale", "interpret", "compute_dtype"))
+def psf_crop_diversity_sym3_thin(phase, pupil, cos_a, sin_a, dft_op,
+                                 scale: float, interpret: bool = False,
+                                 compute_dtype: str | None = None):
+    """sym3 variant with thin-row recombination (see the kernel
+    docstring); same signature/semantics as psf_crop_diversity_sym3."""
+    B, R, _ = phase.shape
+    w = dft_op.shape[1]
+    pcd = pupil * cos_a
+    psd = pupil * sin_a
+    itm = R * R * 4
+    const = 3 * itm + 4 * w * R * 4
+    # scratch: cos/sin + one live product (the six matmul operands are
+    # consumed one at a time)
+    budget = int((15.5 * 1024 * 1024 - const - 4 * itm) // (2 * itm))
+    chunk = max(1, min(8, budget))
+    while B % chunk:
+        chunk -= 1
+    kernel = functools.partial(_psf_div3_sym_thin_kernel, scale=scale,
+                               chunk=chunk, compute_dtype=compute_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, R, R), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, R), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((chunk, 3, w, w),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 3, w, w), jnp.float32),
+        interpret=interpret,
+    )(phase.astype(jnp.float32), pupil.astype(jnp.float32),
+      pcd.astype(jnp.float32), psd.astype(jnp.float32),
+      dft_op[0], dft_op[1])
+
+
 @functools.partial(jax.jit,
                    static_argnames=("scale", "interpret", "compute_dtype"))
 def psf_crop_diversity_sym3(phase, pupil, cos_a, sin_a, dft_op,

@@ -72,3 +72,22 @@ def test_sym3_kernel_matches_general():
                                        dft_op=op)
     np.testing.assert_allclose(np.asarray(y_sym), np.asarray(y_ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_sym3_thin_kernel_matches_sym3():
+    """The thin-row recombination variant is numerically the sym3 kernel
+    (same math, zero R^2-sized copies)."""
+    R, c, B, a = 64, 9, 4, 3.0
+    rng = np.random.default_rng(2)
+    phase = jnp.asarray(rng.normal(size=(B, R, R)) * 0.4, jnp.float32)
+    zmap = jnp.asarray(rng.normal(size=(R, R)) * 0.5, jnp.float32)
+    pupil = psf.pupil_mask(R)
+    op = dft.centered_partial_dft(R, c)
+    sym = pallas_kernels.psf_crop_diversity_sym3(
+        phase, pupil, jnp.cos(a * zmap), jnp.sin(a * zmap), op, 2.0,
+        interpret=True)
+    thin = pallas_kernels.psf_crop_diversity_sym3_thin(
+        phase, pupil, jnp.cos(a * zmap), jnp.sin(a * zmap), op, 2.0,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(thin), np.asarray(sym),
+                               rtol=2e-5, atol=2e-5)
