@@ -96,7 +96,9 @@ def main():
         if ref is None:
             ref = v
         else:
-            out["rel_diff_vs_general"] = abs(v - ref) / abs(ref)
+            # per-variant key: a shared key would silently overwrite the
+            # earlier variant's parity check
+            out[name + "_rel_diff_vs_general"] = abs(v - ref) / abs(ref)
     print(json.dumps(out))
 
 

@@ -194,7 +194,6 @@ def build(atm: AtmosphereConfig, diameter: float, fov: float,
         P = np.hstack([footprint_projection(
             wfs_order, dm, diameter, fov, d, resolution) for dm in dms])
         proj.append(P[1:, :])
-    n_u = proj[0].shape[1]
 
     # --- data covariance S (modalMCAO.m:66-77) ---
     S = np.zeros((n_gs * Km, n_gs * Km))
@@ -210,7 +209,8 @@ def build(atm: AtmosphereConfig, diameter: float, fov: float,
         Cn = Cn * np.eye(Km)
     elif Cn.ndim == 1:
         Cn = np.diag(Cn)
-    S_n = S + np.kron(np.eye(n_gs), Cn)
+    Cn_full = np.kron(np.eye(n_gs), Cn)
+    S_n = S + Cn_full
     # tiny ridge: S is singular when guide stars coincide
     S_n = S_n + 1e-10 * np.trace(S_n) / S_n.shape[0] * np.eye(S_n.shape[0])
 
@@ -232,10 +232,17 @@ def build(atm: AtmosphereConfig, diameter: float, fov: float,
     piston_free = zernike_stats.residual_variance(1, atm, diameter)
     scao = zernike_stats.residual_variance(K, atm, diameter)
     MSMt = M @ S @ M.T
+    # measurement noise propagates through the command matrix: with
+    # u = M (s + n), E||Pk u||^2 gains tr(Pk'Pk M Cn M') on top of the
+    # noiseless MSMt term (the reference solves the noiseless problem,
+    # modalMCAO.m:104, where this term is zero)
+    MNMt = M @ Cn_full @ M.T
 
     def resid_var(Ck, Pk):
+        PtP = Pk.T @ Pk
         return float(piston_free - np.trace(2.0 * M @ (Ck @ Pk)
-                                            - (Pk.T @ Pk) @ MSMt))
+                                            - PtP @ MSMt)
+                     + np.trace(PtP @ MNMt))
 
     target_vars = np.array([resid_var(Ck, Pk)
                             for Ck, Pk in zip(C_blocks, proj)])

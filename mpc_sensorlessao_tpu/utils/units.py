@@ -99,11 +99,10 @@ class SkyAngle:
 
 
 def heaviside(x):
-    """Heaviside step with H(0)=1/2 (heaviside.m:1-10).  Works on
-    numpy/JAX arrays via comparisons (0.5*(sign(x)+1))."""
-    import numpy as np
-    x = np.asarray(x)
-    return 0.5 * (np.sign(x) + 1.0)
+    """Heaviside step with H(0)=1/2 (heaviside.m:1-10).  jnp ops, so it
+    traces under jit and never forces a host transfer."""
+    import jax.numpy as jnp
+    return 0.5 * (jnp.sign(x) + 1.0)
 
 
 def marechal_strehl(rms_wfe_m: float, wavelength: float) -> float:

@@ -111,7 +111,13 @@ def test_mcao_monte_carlo_matches_prediction():
             [scr0, scr1], [pitch, pitch], D / 2, alts, R, direction=d))
             for d in dirs])
 
-    resid = []
+    sig2 = 0.02
+    m_noisy = mcao.build(atm, D, fov,
+                         [mcao.DMLayer(0.0, order),
+                          mcao.DMLayer(8000.0, order, skip_modes=3)],
+                         order, gs, sci, noise_cov=sig2)
+    rng = np.random.default_rng(11)
+    resid, resid_n = [], []
     slab0, slab1 = atm.layer(0), atm.layer(1)
     for s in range(120):
         scr0 = jnp.asarray(np.asarray(phase_screens.synthesize_screen(
@@ -124,10 +130,25 @@ def test_mcao_monte_carlo_matches_prediction():
         res_k = [c[k] - np.asarray(mcao.correction_coeffs(m, u, k))
                  for k in range(len(sci))]
         resid.append([float(np.sum(r ** 2)) for r in res_k])
+        # same screens, noisy guide-star coefficients through the
+        # noise-regularized command matrix: checks the propagated-noise
+        # term tr(Pk'Pk M Cn M') in the analytic residual
+        cn = c[len(sci):] + rng.normal(
+            size=c[len(sci):].shape) * np.sqrt(sig2)
+        un = np.asarray(mcao.correct(
+            m_noisy, jnp.asarray(cn, jnp.float32)))
+        resn_k = [c[k] - np.asarray(mcao.correction_coeffs(m_noisy, un, k))
+                  for k in range(len(sci))]
+        resid_n.append([float(np.sum(r ** 2)) for r in resn_k])
     mc = np.mean(np.asarray(resid), axis=0)
     pred = m.target_vars_rad2 - m.scao_var_rad2
     for k in range(len(sci)):
         assert 0.5 * pred[k] < mc[k] < 2.0 * pred[k], (k, mc, pred)
+    mc_n = np.mean(np.asarray(resid_n), axis=0)
+    pred_n = m_noisy.target_vars_rad2 - m_noisy.scao_var_rad2
+    for k in range(len(sci)):
+        assert 0.5 * pred_n[k] < mc_n[k] < 2.0 * pred_n[k], (
+            k, mc_n, pred_n)
     # and correcting helps: residual well below the uncorrected modal var
     open_var = float(np.sum(np.diag(zs.covariance_analytic(
         atm, D, order, normalized=True))[1:]))
