@@ -32,7 +32,10 @@ except Exception:
 
 def main():
     res = int(os.environ.get("BENCH_RES", "128"))
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    # B=4096 measured best-value batch at R=128 (BENCH_MAX_r03.json:
+    # 585k solves/s; 8192 adds only +3.8% for 2x memory).  NOTE R=512
+    # rows must keep B<=256 -- B=512 hits a 16x memory cliff.
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
     steps = int(os.environ.get("BENCH_STEPS", "25"))
     solver = os.environ.get("BENCH_SOLVER", "fastmpc")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
