@@ -69,10 +69,13 @@ def main():
         d_over_r0_grid=(5.0,), snr_db_grid=(10.0,))
 
     # every bench scenario uses the same turbulence window -> the frozen
-    # flow is traced once per step, not per scenario (montecarlo.run_batch)
+    # flow is traced once per step, not per scenario (montecarlo.run_batch);
+    # verified on the concrete batch here, since inside jit the starts
+    # are tracers
+    montecarlo.assert_shared_window(scen)
     run = jax.jit(lambda s: montecarlo.run_batch(
         system.loop, system.layers, cfg, s, n_steps=steps, solver=solver,
-        shared_window=True))
+        shared_window="verified"))
 
     t0 = time.time()
     out = run(scen)

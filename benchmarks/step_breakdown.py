@@ -179,12 +179,13 @@ def main():
     scen = montecarlo.make_scenarios(
         cfg, jax.random.PRNGKey(1), B,
         d_over_r0_grid=(5.0,), snr_db_grid=(10.0,))
+    montecarlo.assert_shared_window(scen)
 
     def full(n):
         @jax.jit
         def run(s):
             o = montecarlo.run_batch(models, layers, cfg, s, n_steps=n,
-                                     shared_window=True)
+                                     shared_window="verified")
             return o.rms_res
         return run
 

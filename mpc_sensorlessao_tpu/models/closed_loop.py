@@ -119,6 +119,7 @@ def simulate(
     edge_model: edge_flow_mod.EdgeFlowModel | None = None,
     edge_state: edge_flow_mod.EdgeFlowState | None = None,
     init_u: jnp.ndarray | None = None,
+    noise_seq: jnp.ndarray | None = None,
 ) -> StepOutputs:
     """Run the closed loop for n_steps starting at absolute turbulence step
     ``start_step`` (the reference starts at the test split,
@@ -176,8 +177,15 @@ def simulate(
         phase_res = phase_turb + phase_cor
 
         # -- estimator (README.md:457-480) --
-        noise = noise_scale * estimator_model.sample_noise(
-            models.est, jax.random.fold_in(key, idx))
+        # noise_seq: externally injected per-step noise (n_steps, n_pix)
+        # -- lets an oracle share the exact measurement-noise sequence
+        # for end-to-end noisy golden-trajectory parity (the reference
+        # loads precomputed noise from SNR_10.mat, README.md:473-475)
+        if noise_seq is not None:
+            noise = noise_scale * noise_seq[idx]
+        else:
+            noise = noise_scale * estimator_model.sample_noise(
+                models.est, jax.random.fold_in(key, idx))
         y_clean = estimator_model.measure(models.est, phase_res, None)
         y = y_clean + noise
         gn = cfg.estimator.gauss_newton_iters

@@ -147,6 +147,43 @@ def build(cfg: SystemConfig, key) -> System:
                   edge_state=edge_state)
 
 
+def with_horizon(system: System, cfg: SystemConfig) -> System:
+    """Rebuild only the horizon-dependent MPC operators on a built System.
+
+    The expensive layers (turbulence screens, Zernike basis, estimator
+    linearization, VAR fit) are horizon-independent; sweeping the MPC
+    horizon N (BASELINE config 3: "longer MPC horizons") only needs new
+    condensed design matrices (mpc.design_matrices) and a new
+    constant-slack fixed-Newton operator.  The structured Newton problem
+    (`prob`) is horizon-free by construction: `newton_kkt.solve` takes
+    the horizon per call (the reference rebuilds its whole 23-arg
+    Fast_MPC2 object instead, Fast_MPC/VAR_2/Fast_MPC2.m:28-55).
+    """
+    import dataclasses as _dc  # noqa: F401
+    import numpy as np
+
+    nx = system.dm_model.influence.shape[0]
+    nu = system.dm_model.n_actuators
+    A1 = system.var_model.coefficient(1)
+    A2 = (system.var_model.coefficient(2) if cfg.mpc.var_order >= 2
+          else jnp.zeros_like(A1))
+    Q = jnp.asarray(cfg.mpc.q_weight * np.eye(nx), dtype=jnp.float32)
+    P = jnp.asarray(cfg.mpc.p_weight_scale * cfg.mpc.q_weight * np.eye(nx),
+                    dtype=jnp.float32)
+    Rm = jnp.asarray(cfg.mpc.r_weight * np.eye(nu), dtype=jnp.float32)
+    with hostcompute.on_cpu():
+        cpu = hostcompute.cpu_device()
+        mats = mpc.design_matrices(
+            jax.device_put(A1, cpu), jax.device_put(A2, cpu),
+            jax.device_put(system.dm_model.influence, cpu),
+            cfg.mpc.horizon, Q, P, Rm)
+    mats = hostcompute.to_default(mats)
+    loop = closed_loop.make_loop_models(
+        system.basis, system.est, system.dm_model, mats, system.loop.prob,
+        horizon=cfg.mpc.horizon)
+    return system._replace(mats=mats, loop=loop)
+
+
 def run_closed_loop(system: System, cfg: SystemConfig, key,
                     n_steps: int | None = None,
                     solver: str | None = None) -> closed_loop.StepOutputs:

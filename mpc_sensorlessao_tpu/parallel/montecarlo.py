@@ -105,9 +105,19 @@ def _settled_slice(n_steps: int) -> int:
     return max(n_steps // 2, 1)
 
 
+def assert_shared_window(scen: ScenarioBatch) -> None:
+    """Concrete-value check that every scenario shares one turbulence
+    window.  Call OUTSIDE jit, then pass ``shared_window="verified"`` to
+    run_batch (inside jit the starts are tracers and cannot be checked)."""
+    starts = np.asarray(scen.start_step)
+    if not (starts == starts.flat[0]).all():
+        raise ValueError(
+            "scenarios have distinct start_steps; use the batched path")
+
+
 def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
               n_steps: int, solver: str | None = None,
-              shared_window: bool = False) -> closed_loop.StepOutputs:
+              shared_window: bool | str = False) -> closed_loop.StepOutputs:
     """vmap the closed loop over the scenario axis (single device).
 
     ``shared_window=True`` asserts every scenario uses the SAME
@@ -117,18 +127,28 @@ def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
     single most expensive stage of the step (~9 us/scenario of the
     ~13 us R=128 step, measured), and it is pure waste when the offsets
     are identical.  Trajectories are bit-identical to the batched path.
+    When calling from inside jit (starts are tracers and cannot be
+    value-checked), run ``assert_shared_window(scen)`` on the concrete
+    batch first and pass ``shared_window="verified"``.
     """
     if shared_window:
         s0 = scen.start_step[0]
-        try:  # best-effort guard (skipped for traced batches): silently
-            # replaying one window as N would corrupt the statistics
-            starts = np.asarray(scen.start_step)
-            if not (starts == starts.flat[0]).all():
-                raise ValueError(
-                    "shared_window=True but scenarios have distinct "
-                    "start_steps; use the batched path")
+        try:  # guard: silently replaying one window as N would corrupt
+            # the statistics
+            assert_shared_window(scen)
         except jax.errors.TracerArrayConversionError:
-            pass
+            # traced start_steps can't be value-checked at trace time --
+            # be loud instead of silent so a wrong call site is visible
+            if shared_window != "verified":
+                import warnings
+                warnings.warn(
+                    "run_batch(shared_window=True) called with traced "
+                    "start_steps: the identical-window invariant cannot "
+                    "be verified; every scenario will replay "
+                    "start_step[0].  Check the concrete batch with "
+                    "assert_shared_window() and pass "
+                    "shared_window='verified' to silence this.",
+                    stacklevel=2)
 
         def one_shared(key, mag, noise_scale):
             return closed_loop.simulate(
@@ -149,13 +169,21 @@ def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
 
 def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
                 n_steps: int, mesh, solver: str | None = None,
-                shared_window: bool = False) -> MonteCarloStats:
+                shared_window: bool | str = False) -> MonteCarloStats:
     """shard_map over the mesh scenario axis; psum-reduced statistics.
 
     Scenario count must be a multiple of the mesh size
     (mesh.pad_to_devices).  Models/layers are replicated (broadcast once),
     per-scenario parameters sharded; only O(1) statistics cross chips.
     """
+    if shared_window is True:
+        # verify on the concrete batch here; inside shard_map the starts
+        # are tracers and run_batch could not check them
+        try:
+            assert_shared_window(scen)
+            shared_window = "verified"
+        except jax.errors.TracerArrayConversionError:
+            pass  # outer-jitted call: run_batch warns below
     n = scen.start_step.shape[0]
     n_dev = mesh.devices.size
     assert n % n_dev == 0, (n, n_dev)

@@ -69,24 +69,35 @@ def _oracle_params(cfg, system, solver):
 
 
 def _run_engine(cfg, system, noise, solver):
-    """Run the JAX loop with an injected noise sequence by monkeypatching
-    the per-step noise through noise_scale=0 and adding noise via the
-    estimator model's noise_std=0 trick -- instead we inject by rebuilding
-    measure: simplest is noise_scale=0 and noise added to y is zero; so we
-    compare NOISE-FREE trajectories (oracle gets zeros too)."""
+    """Run the JAX loop with the SAME injected noise sequence the oracle
+    sees (closed_loop.simulate noise_seq): noise is added to the measured
+    PSF stack exactly where the reference adds its precomputed SNR_10.mat
+    noise (README.md:473-475).  An all-zero sequence gives the noise-free
+    comparison."""
     out = closed_loop.simulate(
         system.loop, system.layers, cfg, jax.random.PRNGKey(9),
         n_steps=noise.shape[0],
         start_step=float(cfg.sim.n_train + cfg.sim.n_valid),
-        solver=solver, noise_scale=0.0)
+        solver=solver, noise_scale=1.0,
+        noise_seq=jnp.asarray(noise, dtype=jnp.float32))
     return np.asarray(out.u), np.asarray(out.rms_res)
 
 
 @pytest.mark.parametrize("solver", ["closed_form", "fastmpc"])
-def test_trajectory_matches_numpy_oracle(setup, solver):
+@pytest.mark.parametrize("noisy", [False, True])
+def test_trajectory_matches_numpy_oracle(setup, solver, noisy):
     cfg, system = setup
     n_steps = 10
-    noise = np.zeros((n_steps, system.loop.est.n_pixels))
+    if noisy:
+        # shared measurement-noise sequence at the configured SNR (10 dB):
+        # the noisy estimator path (noise scaling + injection point) is
+        # oracle-checked end-to-end, not just the std definition
+        rng = np.random.default_rng(7)
+        std = float(system.loop.est.noise_std)
+        noise = (std * rng.standard_normal(
+            (n_steps, system.loop.est.n_pixels))).astype(np.float64)
+    else:
+        noise = np.zeros((n_steps, system.loop.est.n_pixels))
     params = _oracle_params(cfg, system, solver)
     gn = cfg.estimator.gauss_newton_iters
     u_ref, rms_ref = oracle_loop(params, n_steps, noise, solver=solver,
