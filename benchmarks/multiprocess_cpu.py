@@ -1,0 +1,197 @@
+"""True multi-process run of the distributed Monte-Carlo backend (CPU).
+
+SURVEY.md section 5.8 requires the scenario-sharded path to work across
+processes (hosts), with statistics reduced by collectives riding the
+inter-process fabric (DCN on a real pod; Gloo over localhost here, since
+no multi-chip TPU hardware is available in this environment).  This
+script launches N real `jax.distributed` processes, each owning
+`--devices-per-process` virtual CPU devices, builds the identical system
+in every process (deterministic from the config seed), assembles the
+global scenario batch from process-local shards
+(parallel/multihost.global_scenarios), runs
+`parallel.montecarlo.run_sharded` over the global 2-process mesh
+(psum across processes!), and asserts the statistics match a
+single-process run of the same scenarios.
+
+Driver mode (default):  python benchmarks/multiprocess_cpu.py [out.json]
+Worker mode (spawned):  ... --process-id I --num-processes N
+Env: MP_RES=64 MP_STEPS=20 MP_SPD=4 MP_NPROC=2 MP_DPP=4 MP_PORT=9917
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+RES = int(os.environ.get("MP_RES", "64"))
+STEPS = int(os.environ.get("MP_STEPS", "20"))
+SPD = int(os.environ.get("MP_SPD", "4"))          # scenarios per device
+NPROC = int(os.environ.get("MP_NPROC", "2"))
+DPP = int(os.environ.get("MP_DPP", "4"))          # devices per process
+PORT = int(os.environ.get("MP_PORT", "9917"))
+
+
+def _build_and_scenarios():
+    import dataclasses
+
+    import jax
+
+    from mpc_sensorlessao_tpu.models import pipeline
+    from mpc_sensorlessao_tpu.parallel import montecarlo
+    from mpc_sensorlessao_tpu.utils.config import reference_config
+
+    cfg = reference_config(resolution=RES)
+    cfg = cfg.replace(sim=dataclasses.replace(
+        cfg.sim, n_train=300, n_valid=50, n_test=STEPS))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    n = SPD * NPROC * DPP
+    scen = montecarlo.make_scenarios(
+        cfg, jax.random.PRNGKey(1), n,
+        d_over_r0_grid=(5.0, 10.0), snr_db_grid=(5.0, 10.0))
+    return cfg, system, scen, n
+
+
+def worker(pid: int) -> None:
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={DPP}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{PORT}",
+        num_processes=NPROC, process_id=pid)
+    assert jax.process_count() == NPROC
+    assert len(jax.devices()) == NPROC * DPP
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mpc_sensorlessao_tpu.parallel import (mesh as mesh_lib,
+                                               montecarlo, multihost)
+
+    # Gloo contexts for the global clique are created lazily at the
+    # first collective with a ~30 s rendezvous timeout; run a tiny
+    # warmup all-reduce NOW, while the processes are still in lockstep
+    # after initialize() -- the long, skewed build below would otherwise
+    # leave one process waiting past the rendezvous deadline.
+    wmesh = mesh_lib.scenario_mesh()
+    local = np.ones((DPP,), dtype=np.float32)
+    g = jax.make_array_from_process_local_data(
+        NamedSharding(wmesh, P(mesh_lib.SCENARIO_AXIS)), local,
+        (NPROC * DPP,))
+    total = jax.jit(jnp.sum,
+                    out_shardings=NamedSharding(wmesh, P()))(g)
+    assert float(total) == float(NPROC * DPP)
+
+    cfg, system, scen, n = _build_and_scenarios()
+
+    # re-sync before the first real collective: the builds/compiles
+    # above are long and skewed across processes; the coordination
+    # service barrier (not Gloo) tolerates that skew
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("post_build", 600_000)
+    # every process holds the same global batch (deterministic build);
+    # keep only this process's contiguous shard and assemble the global
+    # sharded batch from the local pieces -- the real multi-host pattern
+    # where each host only materializes its own scenarios
+    per = n // NPROC
+    local = jax.tree.map(lambda a: a[pid * per:(pid + 1) * per], scen)
+    mesh = mesh_lib.scenario_mesh()
+    scen_g = multihost.global_scenarios(local, mesh)
+    stats = montecarlo.run_sharded(system.loop, system.layers, cfg,
+                                   scen_g, n_steps=STEPS, mesh=mesh)
+    if pid == 0:
+        print("STATS " + json.dumps(
+            {k: float(v) for k, v in stats._asdict().items()}), flush=True)
+
+
+def driver(out_path: str) -> None:
+    # single-process reference statistics on this process's own devices
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={DPP}")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from mpc_sensorlessao_tpu.parallel import mesh as mesh_lib
+    from mpc_sensorlessao_tpu.parallel import montecarlo
+
+    cfg, system, scen, n = _build_and_scenarios()
+    mesh = mesh_lib.scenario_mesh()
+    t0 = time.time()
+    ref = montecarlo.run_sharded(system.loop, system.layers, cfg, scen,
+                                 n_steps=STEPS, mesh=mesh)
+    ref = {k: float(v) for k, v in ref._asdict().items()}
+    t_single = time.time() - t0
+
+    # spawn the real multi-process job
+    env = dict(os.environ)
+    procs = []
+    t0 = time.time()
+    for pid in range(NPROC):
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--process-id", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))))
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    t_multi = time.time() - t0
+    failed = [pid for pid, p in enumerate(procs) if p.returncode != 0]
+    if failed:
+        for pid, o in enumerate(outs):
+            print(f"--- worker {pid} ---\n{o[-4000:]}", file=sys.stderr)
+        raise SystemExit(f"workers {failed} failed")
+    line = [ln for ln in outs[0].splitlines()
+            if ln.startswith("STATS ")][-1]
+    multi = json.loads(line[len("STATS "):])
+
+    deltas = {k: abs(multi[k] - ref[k]) for k in ref}
+    # identical scenarios, different reduction topology: f32 psum order
+    # differences only
+    for k in ("mean_rms_res", "mean_rms_turb", "mean_strehl",
+              "mean_strehl_exact"):
+        rel = deltas[k] / (abs(ref[k]) + 1e-12)
+        assert rel < 1e-4, (k, ref[k], multi[k])
+    assert multi["n_scenarios"] == ref["n_scenarios"]
+    assert multi["n_diverged"] == ref["n_diverged"]
+
+    report = {
+        "what": ("REAL multi-process jax.distributed run of "
+                 "parallel/multihost + montecarlo.run_sharded: "
+                 f"{NPROC} processes x {DPP} CPU devices over localhost "
+                 "Gloo, psum across process boundaries; statistics match "
+                 "the single-process run of the same scenarios"),
+        "resolution": RES, "n_steps": STEPS, "n_scenarios": n,
+        "num_processes": NPROC, "devices_per_process": DPP,
+        "single_process_s": round(t_single, 1),
+        "multi_process_wall_s": round(t_multi, 1),
+        "stats_single": ref, "stats_multi": multi,
+        "max_rel_delta": max(
+            deltas[k] / (abs(ref[k]) + 1e-12) for k in ref),
+        "ok": True,
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(json.dumps(report, indent=2))
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    if "--process-id" in sys.argv:
+        worker(int(sys.argv[sys.argv.index("--process-id") + 1]))
+    else:
+        out = (sys.argv[1] if len(sys.argv) > 1 and
+               not sys.argv[1].startswith("-") else "MULTIPROC_r04.json")
+        driver(out)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,310 @@
+"""Roofline / speed-of-light accounting for the hot kernels (VERDICT r3 #3).
+
+BASELINE.json's north star requires "rollout and QP kernels profiled to
+speed-of-light per chip".  For each target this records achieved FLOP/s,
+bytes/s and transcendentals/s against the device peaks
+(utils/profiling.DEVICE_PEAKS), with a bound classification.
+
+Method (the tunnelled chip makes naive timing meaningless -- CLAUDE.md):
+* TIME: differenced scans (two scan lengths; the difference cancels the
+  ~22-30 ms per-dispatch latency AND fixed scan overhead), median over
+  repeats (single estimates carry ~2x spread).
+* WORK: XLA HLO cost analysis of ONE application of the same math.  Two
+  caveats, both handled: (a) cost analysis counts a `while` body once
+  regardless of trip count, so work is taken from a single-step lowering,
+  not the scanned program; (b) Pallas kernels are custom calls with no
+  cost model, so the work of Pallas-backed targets is counted from the
+  pure-XLA lowering of the identical computation
+  (EstimatorModel.use_pallas=False) -- same math, same useful work.
+
+Targets:
+  measure_sym3   fused symmetric-triple diversity-PSF measure kernel
+                 (ops/pallas_kernels.psf_crop_diversity_sym3)
+  step           the composed closed-loop control step (one scan body)
+  solve_fixed    constant-slack Newton-KKT real-time solver
+
+Usage: python benchmarks/roofline.py [out.json]
+Env:   ROOFLINE_REPEATS=9  ROOFLINE_STEPS=25  ROOFLINE_CPU=1 (smoke)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mpcsao_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+if os.environ.get("ROOFLINE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from mpc_sensorlessao_tpu.models import estimator as est_mod      # noqa
+from mpc_sensorlessao_tpu.models import pipeline                  # noqa
+from mpc_sensorlessao_tpu.ops import newton_kkt                   # noqa
+from mpc_sensorlessao_tpu.parallel import montecarlo              # noqa
+from mpc_sensorlessao_tpu.utils.config import reference_config    # noqa
+from mpc_sensorlessao_tpu.utils.profiling import (                # noqa
+    DEVICE_PEAKS, device_kind)
+
+REPEATS = int(os.environ.get("ROOFLINE_REPEATS", "9"))
+STEPS = int(os.environ.get("ROOFLINE_STEPS", "25"))
+
+# VPU elementwise peak ESTIMATE for transcendental-bound classification:
+# ~1024 lanes x 4 SIMD subunits x ~940 MHz for v5e (public scaling-book
+# numbers); each transcendental costs several VPU ops -- we use a rough
+# 6-op equivalent, clearly labeled an estimate in the artifact.
+VPU_PEAK_EST = {"v5e": 3.9e12, "v5p": 7.4e12, "cpu": 5e10}
+TRANSC_OP_EQUIV = 6.0
+
+
+def _scan_time(step_fn, carry0, length):
+    """Jit a scan of `length` applications; step_fn: carry -> carry,
+    scalar-perturbed so nothing hoists."""
+    @jax.jit
+    def run(c0):
+        def body(c, _):
+            c2, s = step_fn(c)
+            return c2, s
+        _, ys = jax.lax.scan(body, c0, None, length=length)
+        return ys
+    return run
+
+
+def differenced_time(step_fn, carry0, n_items, steps=STEPS,
+                     repeats=REPEATS):
+    """Median per-item wall time via the two-length differenced-scan
+    method.  Returns (per_iter_s, per_item_s, differenced_work_s): the
+    caller should treat the estimate as unreliable when the differenced
+    work is not well above the ~ms-scale dispatch jitter."""
+    short = _scan_time(step_fn, carry0, steps)
+    long = _scan_time(step_fn, carry0, 2 * steps)
+    short(carry0).block_until_ready()
+    long(carry0).block_until_ready()
+    est = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        short(carry0).block_until_ready()
+        t1 = time.perf_counter()
+        long(carry0).block_until_ready()
+        t2 = time.perf_counter()
+        est.append(((t2 - t1) - (t1 - t0)) / steps)
+    per_iter = float(np.median(est))
+    return per_iter, per_iter / n_items, per_iter * steps
+
+
+def one_shot_cost(fn, *args):
+    """flops / bytes / transcendentals of ONE application (XLA cost
+    analysis; body counted once)."""
+    c = jax.jit(fn).lower(*args).compile().cost_analysis() or {}
+    return {
+        "flops": float(c.get("flops", 0.0)),
+        "bytes_accessed": float(c.get("bytes accessed", 0.0)),
+        "transcendentals": float(c.get("transcendentals", 0.0)),
+    }
+
+
+def roofline_row(label, cost, t_iter, n_items):
+    kind = device_kind()
+    peak_f32, peak_bf16, peak_bw = DEVICE_PEAKS[kind]
+    vpu = VPU_PEAK_EST[kind]
+    fps = cost["flops"] / t_iter
+    bps = cost["bytes_accessed"] / t_iter
+    tps = cost["transcendentals"] / t_iter
+    fu = fps / peak_f32
+    bu = bps / peak_bw
+    vu = (cost["flops"] * 0 + tps * TRANSC_OP_EQUIV) / vpu
+    bound = max([("mxu_compute", fu), ("hbm_bandwidth", bu),
+                 ("vpu_transcendental_est", vu)], key=lambda kv: kv[1])
+    return {
+        "label": label,
+        # flop counts are exact math, so achieved-FLOPs above peak can
+        # only mean the timing is wrong (differenced work lost in the
+        # dispatch jitter); bytes CAN legitimately exceed "100%" when a
+        # fused Pallas kernel moves less data than its XLA work model
+        "timing_reliable": bool(fu <= 1.05),
+        "wall_us_per_iter": round(t_iter * 1e6, 2),
+        "wall_us_per_item": round(t_iter / n_items * 1e6, 3),
+        "flops_per_iter": cost["flops"],
+        "bytes_per_iter": cost["bytes_accessed"],
+        "transcendentals_per_iter": cost["transcendentals"],
+        "achieved_tflops": round(fps / 1e12, 3),
+        "achieved_gbps": round(bps / 1e9, 1),
+        "achieved_gtransc_per_s": round(tps / 1e9, 2),
+        "pct_peak_f32_mxu": round(100 * fu, 2),
+        "pct_peak_hbm": round(100 * bu, 2),
+        "pct_peak_vpu_est": round(100 * vu, 2),
+        "bound": bound[0],
+        "pct_of_binding_peak": round(100 * bound[1], 2),
+    }
+
+
+def target_measure(res, batch, gn, steps=None):
+    cfg = reference_config(resolution=res)
+    cfg = cfg.replace(
+        sim=dataclasses.replace(cfg.sim, n_train=300, n_valid=50,
+                                n_test=4),
+        estimator=dataclasses.replace(cfg.estimator,
+                                      gauss_newton_iters=gn))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    est = system.loop.est
+    est_xla = est.replace(use_pallas=False)
+    rng = np.random.default_rng(0)
+    phase0 = jnp.asarray(
+        rng.normal(size=(batch, res, res)).astype(np.float32) * 0.3)
+
+    def meas(model):
+        def step(p):
+            y = jax.vmap(lambda ph: est_mod.measure(model, ph, None))(p)
+            s = jnp.sum(y)
+            return p * (1.0 + 1e-12 * s), s
+        return step
+
+    t_iter, _, work = differenced_time(meas(est), phase0, batch,
+                                       steps=steps or STEPS)
+    cost = one_shot_cost(
+        lambda p: jax.vmap(lambda ph: est_mod.measure(est_xla, ph,
+                                                      None))(p), phase0)
+    row = roofline_row(f"measure_sym3_R{res}_B{batch}", cost, t_iter,
+                       batch)
+    row["differenced_work_ms"] = round(work * 1e3, 1)
+    row["work_model"] = "pure-XLA lowering of the same math (use_pallas=False)"
+    return row, system, cfg
+
+
+def target_step(system, cfg, batch, steps=8):
+    scen = montecarlo.make_scenarios(
+        cfg, jax.random.PRNGKey(1), batch,
+        d_over_r0_grid=(5.0,), snr_db_grid=(10.0,))
+    montecarlo.assert_shared_window(scen)
+
+    def run_n(models, n):
+        return jax.jit(lambda s: montecarlo.run_batch(
+            system.loop._replace(est=models), system.layers, cfg, s,
+            n_steps=n, shared_window="verified").rms_res)
+
+    # TIME: differenced closed-loop scans on the production (pallas) path
+    short, long = run_n(system.loop.est, steps), run_n(system.loop.est,
+                                                       2 * steps)
+    short(scen).block_until_ready()
+    long(scen).block_until_ready()
+    est_t = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        short(scen).block_until_ready()
+        t1 = time.perf_counter()
+        long(scen).block_until_ready()
+        t2 = time.perf_counter()
+        est_t.append(((t2 - t1) - (t1 - t0)) / steps)
+    t_iter = float(np.median(est_t))
+
+    # WORK: one-step lowering, pure-XLA estimator
+    est_xla = system.loop.est.replace(use_pallas=False)
+    cost = one_shot_cost(
+        lambda s: montecarlo.run_batch(
+            system.loop._replace(est=est_xla), system.layers, cfg, s,
+            n_steps=1, shared_window="verified").rms_res, scen)
+    gn = cfg.estimator.gauss_newton_iters
+    row = roofline_row(
+        f"step_R{cfg.resolution}_B{batch}_gn{gn}", cost, t_iter, batch)
+    row["differenced_work_ms"] = round(t_iter * steps * 1e3, 1)
+    row["work_model"] = ("one-step closed-loop lowering, pure-XLA "
+                        "estimator (use_pallas=False)")
+    return row
+
+
+def target_solve_fixed(system, batch):
+    prob, op = system.loop.prob, system.loop.fixed_op
+    nx = prob.A1.shape[0]
+    N = 2
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(batch, nx)).astype(np.float32) * .3)
+    xp = jnp.asarray(rng.normal(size=(batch, nx)).astype(np.float32) * .3)
+    w = jnp.zeros((batch, N * nx), dtype=jnp.float32)
+
+    def solve_batch(a):
+        x0_, xp_, w_ = a
+        U = jax.vmap(lambda x, p, ww: newton_kkt.solve_fixed(
+            prob, op, x, p, ww, horizon=N).U)(x0_, xp_, w_)
+        s = jnp.sum(U)
+        return (x0_ * (1.0 + 1e-12 * s), xp_, w_), s
+
+    t_iter, _, work = differenced_time(solve_batch, (x0, xp, w), batch,
+                                       steps=4 * STEPS)
+    cost = one_shot_cost(
+        lambda x, p, ww: jax.vmap(lambda a, b, c: newton_kkt.solve_fixed(
+            prob, op, a, b, c, horizon=N).U)(x, p, ww), x0, xp, w)
+    row = roofline_row(f"solve_fixed_N{N}_B{batch}", cost, t_iter, batch)
+    row["differenced_work_ms"] = round(work * 1e3, 1)
+    row["work_model"] = "pure XLA (no pallas): cost analysis is exact"
+    return row
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "ROOFLINE_r04.json"
+    smoke = bool(os.environ.get("ROOFLINE_CPU"))
+    # gn=0 is the reference-parity estimator (the bench headline);
+    # gn=1 is the robustness default -- record the step at both
+    gn = int(os.environ.get("ROOFLINE_GN", "0"))
+    rows = []
+
+    # R=512 targets: batches match the bench grid (B=256; kernel-grid
+    # B=8 is too little differenced work against the dispatch jitter)
+    r512, b_meas, b_step = (64, 4, 8) if smoke else (512, 256, 256)
+    row, system, cfg = target_measure(r512, b_meas, gn,
+                                      steps=2 * STEPS)
+    rows.append(row)
+    rows.append(target_step(system, cfg, b_step))
+    cfg_g1 = cfg.replace(estimator=dataclasses.replace(
+        cfg.estimator, gauss_newton_iters=1 - gn))
+    rows.append(target_step(system, cfg_g1, b_step))
+    rows.append(target_solve_fixed(system, 1024))
+
+    # R=128 headline grid
+    r128, b_meas2, b_step2 = (32, 4, 8) if smoke else (128, 1024, 4096)
+    row2, system2, cfg2 = target_measure(r128, b_meas2, gn,
+                                         steps=2 * STEPS)
+    rows.append(row2)
+    rows.append(target_step(system2, cfg2, b_step2))
+    rows.append(target_step(system2, cfg2.replace(
+        estimator=dataclasses.replace(cfg2.estimator,
+                                      gauss_newton_iters=1 - gn)),
+        b_step2))
+
+    report = {
+        "what": ("Speed-of-light accounting: achieved FLOP/s / bytes/s / "
+                 "transcendentals/s vs per-chip peaks for the fused "
+                 "measure kernel, the composed control step, and the "
+                 "real-time Newton-KKT solve.  Time = differenced-scan "
+                 "median; work = XLA cost analysis of one application "
+                 "(pure-XLA lowering where the production path is "
+                 "Pallas)."),
+        "device": str(jax.devices()[0]),
+        "device_kind_class": device_kind(),
+        "peaks": {"f32_mxu_flops": DEVICE_PEAKS[device_kind()][0],
+                  "hbm_bytes_per_s": DEVICE_PEAKS[device_kind()][2],
+                  "vpu_flops_ESTIMATE": VPU_PEAK_EST[device_kind()],
+                  "transc_op_equiv_ESTIMATE": TRANSC_OP_EQUIV},
+        "repeats": REPEATS, "scan_steps": STEPS,
+        "rows": rows,
+    }
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

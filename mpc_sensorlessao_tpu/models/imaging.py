@@ -137,3 +137,88 @@ def imager(cfg: DetectorConfig, key, frames: jnp.ndarray,
     return ImagerResult(frame=frame,
                         strehl=strehl_ratio(frame, ref),
                         ee=encircled_energy(frame, ee_width))
+
+
+# ------------------------------------------------- image-domain utilities
+
+def gaussian_frame(resolution: int, fwhm: float,
+                   n_f: int | None = None) -> jnp.ndarray:
+    """Unit-flux Gaussian kernel frame (utilities.m:748-779 `gaussian`).
+
+    Grid convention matches the reference: u = (0:n-1) - n/2.  When
+    ``n_f < resolution/2`` the reference deletes n_f rows/columns from
+    each edge; replicated here as a centered crop to
+    resolution - 2 n_f."""
+    u = jnp.arange(resolution, dtype=jnp.float32) - resolution / 2.0
+    x, y = jnp.meshgrid(u, u)
+    sig = fwhm / (2.0 * jnp.sqrt(2.0 * jnp.log(2.0)))
+    f = jnp.exp(-(x * x + y * y) / (2.0 * sig * sig))
+    f = f / jnp.sum(f)
+    if n_f is not None and n_f < resolution / 2:
+        f = f[n_f:resolution - n_f, n_f:resolution - n_f]
+    return f
+
+
+def barycenter(x: jnp.ndarray, y: jnp.ndarray, body: jnp.ndarray):
+    """Intensity-weighted centroid (utilities.m:898-921 `barycenter`).
+
+    x, y: coordinate arrays (any shape, flattened); body: weights with
+    matching leading size, optionally with trailing frame axes reshaped
+    to (n, k) like the reference.  Returns (x_bary, y_bary) arrays of
+    length k."""
+    n = x.size
+    b = jnp.reshape(body, (n, -1))
+    mass = jnp.sum(b, axis=0)
+    xb = jnp.sum(x.reshape(-1, 1) * b, axis=0) / mass
+    yb = jnp.sum(y.reshape(-1, 1) * b, axis=0) / mass
+    return xb, yb
+
+
+def fit_fwhm(profile: jnp.ndarray) -> jnp.ndarray:
+    """Half-max contour radius of a 2-D profile (utilities.m:676-683
+    `fitFwhm`).
+
+    The reference traces the 0.5 contour with MATLAB `contourc` and
+    averages the point distances from the contour centroid.  Contour
+    tracing is data-dependent control flow; the TPU-friendly equivalent
+    integrates the indicator of the above-half-max region with a
+    subpixel fractional band: radius = sqrt(area / pi) of the half-max
+    region, which equals the mean contour radius for the (near-)convex
+    peaks this is used on.  Returns the RADIUS in pixels (the reference's
+    `rc`; FWHM = 2 rc for a circular peak)."""
+    p = profile / jnp.max(profile)
+    # fractional coverage: 1 inside, 0 outside, linear ramp across the
+    # half-max crossing band for subpixel area
+    frac = jnp.clip((p - 0.5) / 0.05 + 0.5, 0.0, 1.0)
+    area = jnp.sum(frac)
+    return jnp.sqrt(area / jnp.pi)
+
+
+def gerchberg_saxton(pupil_plane_intensity, focal_plane_intensity,
+                     n_iterations: int = 300, seed: int = 0):
+    """Gerchberg-Saxton phase retrieval (utilities.m:843-905, minus the
+    figure plumbing).
+
+    Host-side NumPy implementation: this is an offline calibration/
+    analysis tool built on full-frame fft2/ifft2, and the axon TPU
+    backend has no FFT custom call (CLAUDE.md) -- the hot path PSFs use
+    partial-DFT matmuls instead (ops/dft.py), which cannot invert.
+    Returns (phase, convergence) with convergence[k] the Frobenius
+    mismatch per iteration, matching the reference."""
+    import numpy as np
+
+    source = np.sqrt(np.asarray(pupil_plane_intensity, dtype=np.float64))
+    target = np.sqrt(np.asarray(focal_plane_intensity, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    phase = np.pi * (rng.random(source.shape) * 2.0 - 1.0)
+    cvgce = np.zeros(n_iterations)
+    fsh = np.fft.fftshift
+    for k in range(n_iterations):
+        B = source * np.exp(1j * phase)
+        C = fsh(np.fft.fft2(fsh(B)))
+        D = target * np.exp(1j * np.angle(C))
+        A = fsh(np.fft.ifft2(fsh(D)))
+        phase = np.angle(A)
+        cvgce[k] = np.linalg.norm(np.abs(C) ** 2
+                                  - np.asarray(focal_plane_intensity))
+    return phase, cvgce

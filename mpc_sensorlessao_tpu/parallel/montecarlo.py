@@ -234,11 +234,39 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
         check_vma=False,
     )
     # place inputs explicitly (setup-time arrays may be committed to a
-    # single device by the host-compute path)
+    # single device by the host-compute path).  Under jax.distributed
+    # (process_count > 1) device_put cannot move committed local arrays
+    # onto a global sharding; replicated inputs are assembled from the
+    # identical per-process copies instead (the deterministic build
+    # guarantees they agree), and scenario batches must arrive already
+    # global (multihost.global_scenarios).
     from jax.sharding import NamedSharding
-    models = jax.device_put(models, NamedSharding(mesh, P()))
-    layers = jax.device_put(layers, NamedSharding(mesh, P()))
-    scen = jax.device_put(scen, NamedSharding(mesh, P(SCENARIO_AXIS)))
+
+    multiproc = jax.process_count() > 1
+
+    def _place(tree, spec):
+        sh = NamedSharding(mesh, spec)
+
+        def put(x):
+            if (isinstance(x, jax.Array) and hasattr(x, "sharding")
+                    and x.sharding.is_equivalent_to(sh, x.ndim)):
+                return x
+            if multiproc:
+                if spec != P():
+                    raise ValueError(
+                        "multi-process run_sharded needs the scenario "
+                        "batch pre-assembled as a global array; build "
+                        "it with parallel.multihost.global_scenarios")
+                arr = np.asarray(x)
+                return jax.make_array_from_process_local_data(
+                    sh, arr, arr.shape)
+            return jax.device_put(x, sh)
+
+        return jax.tree.map(put, tree)
+
+    models = _place(models, P())
+    layers = _place(layers, P())
+    scen = _place(scen, P(SCENARIO_AXIS))
     stats = jax.jit(sharded)(models, layers, scen)
     n_f = jnp.maximum(stats.n_scenarios, 1.0)
     return MonteCarloStats(

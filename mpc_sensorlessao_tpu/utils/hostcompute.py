@@ -18,7 +18,7 @@ def cpu_device():
     try:
         return jax.local_devices(backend="cpu")[0]
     except RuntimeError:
-        return jax.devices()[0]
+        return jax.local_devices()[0]
 
 
 @contextmanager
@@ -29,6 +29,10 @@ def on_cpu():
 
 
 def to_default(tree):
-    """Move a pytree of arrays to the default (accelerator) device."""
-    dev = jax.devices()[0]
+    """Move a pytree of arrays to the default (accelerator) device.
+
+    Uses the first ADDRESSABLE device: under jax.distributed,
+    jax.devices()[0] can belong to another process and device_put onto
+    it fails with "non-addressable device"."""
+    dev = jax.local_devices()[0]
     return jax.tree.map(lambda a: jax.device_put(a, dev), tree)

@@ -95,3 +95,57 @@ def test_imager_end_to_end(psf_pair):
     assert res.frame.shape == (32, 32)
     assert 0 < float(res.strehl) < 1.0
     assert 0 < float(res.ee) <= 1.0
+
+
+# ---------------------------------------------- image-domain utilities
+
+def test_gaussian_frame_unit_flux_and_crop():
+    f = imaging.gaussian_frame(64, fwhm=6.0)
+    assert f.shape == (64, 64)
+    assert float(jnp.sum(f)) == pytest.approx(1.0, rel=1e-5)
+    # peak at the reference's grid center (n/2)
+    ij = np.unravel_index(int(jnp.argmax(f)), f.shape)
+    assert ij == (32, 32)
+    fc = imaging.gaussian_frame(64, fwhm=6.0, n_f=16)
+    assert fc.shape == (32, 32)
+    # crop keeps the center untouched (utilities.m:761-768)
+    np.testing.assert_allclose(np.asarray(fc),
+                               np.asarray(f[16:48, 16:48]))
+
+
+def test_barycenter_known_blob():
+    n = 33
+    u = np.arange(n, dtype=np.float64)
+    x, y = np.meshgrid(u, u)
+    blob = np.exp(-((x - 20.0) ** 2 + (y - 12.0) ** 2) / 8.0)
+    xb, yb = imaging.barycenter(jnp.asarray(x), jnp.asarray(y),
+                                jnp.asarray(blob))
+    assert float(xb[0]) == pytest.approx(20.0, abs=1e-3)
+    assert float(yb[0]) == pytest.approx(12.0, abs=1e-3)
+
+
+def test_fit_fwhm_gaussian():
+    # for a Gaussian, the half-max contour radius is fwhm/2
+    fwhm = 9.0
+    f = imaging.gaussian_frame(64, fwhm=fwhm)
+    rc = float(imaging.fit_fwhm(f))
+    assert rc == pytest.approx(fwhm / 2.0, rel=0.05)
+
+
+def test_gerchberg_saxton_recovers_psf():
+    # forward: pupil + known smooth phase -> focal intensity; GS must
+    # find a phase whose focal intensity matches the target closely
+    n = 32
+    pup = np.asarray(psf.pupil_mask_np(n), np.float64)
+    basis = zernike.make_basis(2, n)
+    true_phase = 0.8 * np.asarray(basis.stack[3], np.float64)
+    P = pup * np.exp(1j * true_phase)
+    fsh = np.fft.fftshift
+    focal = np.abs(fsh(np.fft.fft2(fsh(P)))) ** 2
+    phase, cvg = imaging.gerchberg_saxton(pup, focal, n_iterations=200,
+                                          seed=1)
+    assert cvg[-1] < 0.05 * cvg[0]  # converged
+    Pr = pup * np.exp(1j * phase)
+    rec = np.abs(fsh(np.fft.fft2(fsh(Pr)))) ** 2
+    rel = np.linalg.norm(rec - focal) / np.linalg.norm(focal)
+    assert rel < 0.05
