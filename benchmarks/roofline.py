@@ -181,6 +181,10 @@ def target_measure(res, batch, gn, steps=None):
                        batch)
     row["differenced_work_ms"] = round(work * 1e3, 1)
     row["work_model"] = "pure-XLA lowering of the same math (use_pallas=False)"
+    row["harness_note"] = ("timing includes one (B,R,R) carry-"
+                           "perturbation read+write per scan iteration "
+                           "that the work model does not count -- "
+                           "utilizations are slightly UNDERstated")
     return row, system, cfg
 
 
