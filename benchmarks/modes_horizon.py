@@ -102,10 +102,16 @@ def main():
 
     for order in orders:
         n_modes = (order + 1) * (order + 2) // 2
+        # tuned recipe + VAR companion-radius clamp: the order-14 LS/ridge
+        # fit lands at spectral radius ~0.996 and the N>=8 free-response
+        # powers amplify the noisy high-order rows into a collapse
+        # (measured: Strehl 0.058 at N=8 without the clamp; 0.95 is not
+        # enough at the full 1000/500 split -- 0.85 locks at 0.991)
         cfg_o = base.replace(
             zernike=dataclasses.replace(base.zernike, radial_order=order),
             mpc=dataclasses.replace(base.mpc, var_ridge=1e-2,
-                                    warm_start=True, r_weight=30.0),
+                                    warm_start=True, r_weight=30.0,
+                                    var_max_radius=0.85),
             estimator=dataclasses.replace(base.estimator, method="mmse",
                                           prior_scale=0.1),
         )
@@ -128,17 +134,23 @@ def main():
                                                      int(start))
                 keys = jax.random.split(jax.random.PRNGKey(1), batch)
 
-                def one(key):
+                # models/layers as jit ARGUMENTS, not closure captures:
+                # captured arrays serialize into the remote-compile
+                # payload as constants and the N=32 operators blow the
+                # tunnel's request-size limit (HTTP 413)
+                def one(key, loop, layers, u0):
                     return pipeline.closed_loop.simulate(
-                        sys_n.loop, sys_n.layers, cfg, key,
+                        loop, layers, cfg, key,
                         n_steps=n_steps, start_step=start,
-                        init_u=init_u)
+                        init_u=u0)
 
-                run = jax.jit(jax.vmap(one))
-                out = run(keys)             # compile + run
+                run = jax.jit(jax.vmap(one,
+                                       in_axes=(0, None, None, None)))
+                args = (keys, sys_n.loop, sys_n.layers, init_u)
+                out = run(*args)             # compile + run
                 jax.block_until_ready(out.rms_res)
                 t0 = time.time()
-                out = run(keys)
+                out = run(*args)
                 jax.block_until_ready(out.rms_res)
                 t_loop = time.time() - t0
                 row = _row(out, t_loop, batch, n_steps)
