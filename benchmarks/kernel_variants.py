@@ -68,34 +68,30 @@ def main():
             p, pup_d, ca, sa, dop_d, scale),
     }
 
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _timing import differenced_median
+
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 9
     out = {"R": R, "B": B, "steps": steps, "repeats": repeats,
            "device": str(dev.device_kind)}
     ref = None
 
-    def timed(run):
-        t0 = time.perf_counter()
-        run(phase_d).block_until_ready()
-        return time.perf_counter() - t0
-
     for name, fn in variants.items():
-        # two scan lengths; the difference cancels the per-dispatch
-        # tunnel latency (~22-30 ms) that dwarfs short scans.  Single
-        # differenced estimates carry ~2x run-to-run spread on the
-        # tunnelled chip (KERNEL_r03 kernel_ab_late_round3), so form
-        # one differenced estimate PER repeat and report the median
-        # plus the spread.
+        # the shared differenced-scan repeat-median protocol
+        # (benchmarks/_timing.py): the difference cancels the 22-30 ms
+        # per-dispatch tunnel latency, the median tames the ~2x
+        # single-shot spread (KERNEL_r03 kernel_ab_late_round3)
         short = scanner(fn, steps)
         long = scanner(fn, 2 * steps)
         y = short(phase_d)
         y.block_until_ready()
         long(phase_d).block_until_ready()
-        est = []
-        for _ in range(repeats):
-            t1 = timed(short)
-            t2 = timed(long)
-            est.append((t2 - t1) / (steps * B) * 1e6)
-        est = np.asarray(est)
+        _, est = differenced_median(
+            lambda: short(phase_d).block_until_ready(),
+            lambda: long(phase_d).block_until_ready(),
+            steps, repeats, warmed=True)
+        est = est / B * 1e6
         out[name + "_us_per_scen"] = round(float(np.median(est)), 2)
         out[name + "_us_iqr"] = [round(float(np.percentile(est, 25)), 2),
                                  round(float(np.percentile(est, 75)), 2)]

@@ -23,6 +23,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
 
@@ -70,20 +71,14 @@ def main():
                     start_step=start).rms_res
             return jax.jit(f)
 
+        from _timing import differenced_median
+
         key = jax.random.PRNGKey(1)
         short, long = run(steps), run(2 * steps)
-        short(key).block_until_ready()
-        long(key).block_until_ready()
-        est = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            short(key).block_until_ready()
-            t1 = time.perf_counter()
-            long(key).block_until_ready()
-            t2 = time.perf_counter()
-            est.append(((t2 - t1) - (t1 - t0)) / steps)
-        est = np.asarray(est)
-        ms = float(np.median(est)) * 1e3
+        med, est = differenced_median(
+            lambda: short(key).block_until_ready(),
+            lambda: long(key).block_until_ready(), steps, repeats)
+        ms = med * 1e3
         row = {
             "ms_per_step_b1": round(ms, 4),
             "iqr_ms": [round(float(np.percentile(est, 25)) * 1e3, 4),

@@ -123,8 +123,10 @@ def main():
               file=sys.stderr, flush=True)
 
         for N in horizons:
-            variants = [("fixed", 1)] + ([("general_cr", 2)] if N >= 16
-                                         else [])
+            from mpc_sensorlessao_tpu.ops import newton_kkt
+            variants = [("fixed", 1)] + (
+                [("general_cr", 2)]
+                if N >= newton_kkt.CR_MIN_HORIZON else [])
             for tag, nsteps_newton in variants:
                 cfg = cfg_o.replace(mpc=dataclasses.replace(
                     cfg_o.mpc, horizon=N, newton_steps=nsteps_newton))

@@ -133,15 +133,17 @@ def main():
             finite = np.isfinite(rr) & np.isfinite(sx)
             diverged = (~finite) | (rr > 3.0 * rt)
             okv = sx[~diverged]
-            report["cells"][f"d={d:g}_snr={s:g}"] = {
-                "n": int(sx.size),
-                "n_diverged": int(diverged.sum()),
-                "mean_strehl": round(float(okv.mean()), 4),
-                "p10_strehl": round(float(np.percentile(okv, 10)), 4),
-                "min_strehl": round(float(okv.min()), 4),
-                "mean_rms_res": round(float(rr[~diverged].mean()), 4),
-                "mean_rms_turb": round(float(rt[~diverged].mean()), 4),
-            }
+            cell = {"n": int(sx.size), "n_diverged": int(diverged.sum())}
+            if okv.size:  # an all-diverged cell must not crash the
+                # report after the full multi-minute chip run
+                cell.update(
+                    mean_strehl=round(float(okv.mean()), 4),
+                    p10_strehl=round(float(np.percentile(okv, 10)), 4),
+                    min_strehl=round(float(okv.min()), 4),
+                    mean_rms_res=round(float(rr[~diverged].mean()), 4),
+                    mean_rms_turb=round(float(rt[~diverged].mean()), 4),
+                )
+            report["cells"][f"d={d:g}_snr={s:g}"] = cell
         print(json.dumps({f"d={d:g}": {
             "build_s": round(build_s, 1), "loop_s": round(loop_s, 2),
             "steps_per_s": round(len(snr_grid) * reps * n_steps / loop_s,

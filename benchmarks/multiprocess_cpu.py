@@ -129,19 +129,32 @@ def driver(out_path: str) -> None:
     ref = {k: float(v) for k, v in ref._asdict().items()}
     t_single = time.time() - t0
 
-    # spawn the real multi-process job
+    # spawn the real multi-process job.  Worker output goes to temp
+    # FILES, not pipes: sequential communicate() over PIPE-captured
+    # workers can deadlock when an undrained worker fills its 64KB pipe
+    # buffer with jax/gloo logging and blocks mid-collective.
+    import tempfile
+
     env = dict(os.environ)
-    procs = []
+    procs, logs = [], []
     t0 = time.time()
     for pid in range(NPROC):
+        f = tempfile.TemporaryFile(mode="w+", prefix=f"mp_worker{pid}_")
+        logs.append(f)
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--process-id", str(pid)],
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            stdout=f, stderr=subprocess.STDOUT,
             text=True, env=env, cwd=os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__)))))
-    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for p in procs:
+        p.wait(timeout=1200)
     t_multi = time.time() - t0
+    outs = []
+    for f in logs:
+        f.seek(0)
+        outs.append(f.read())
+        f.close()
     failed = [pid for pid, p in enumerate(procs) if p.returncode != 0]
     if failed:
         for pid, o in enumerate(outs):

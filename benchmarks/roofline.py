@@ -38,6 +38,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax  # noqa: E402
 
@@ -86,22 +87,18 @@ def _scan_time(step_fn, carry0, length):
 def differenced_time(step_fn, carry0, n_items, steps=STEPS,
                      repeats=REPEATS):
     """Median per-item wall time via the two-length differenced-scan
-    method.  Returns (per_iter_s, per_item_s, differenced_work_s): the
-    caller should treat the estimate as unreliable when the differenced
-    work is not well above the ~ms-scale dispatch jitter."""
+    method (benchmarks/_timing.py).  Returns (per_iter_s, per_item_s,
+    differenced_work_s): the caller should treat the estimate as
+    unreliable when the differenced work is not well above the
+    ~ms-scale dispatch jitter."""
+    from _timing import differenced_median
+
     short = _scan_time(step_fn, carry0, steps)
     long = _scan_time(step_fn, carry0, 2 * steps)
-    short(carry0).block_until_ready()
-    long(carry0).block_until_ready()
-    est = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        short(carry0).block_until_ready()
-        t1 = time.perf_counter()
-        long(carry0).block_until_ready()
-        t2 = time.perf_counter()
-        est.append(((t2 - t1) - (t1 - t0)) / steps)
-    per_iter = float(np.median(est))
+    per_iter, _ = differenced_median(
+        lambda: short(carry0).block_until_ready(),
+        lambda: long(carry0).block_until_ready(),
+        steps, repeats)
     return per_iter, per_iter / n_items, per_iter * steps
 
 
@@ -125,7 +122,7 @@ def roofline_row(label, cost, t_iter, n_items):
     tps = cost["transcendentals"] / t_iter
     fu = fps / peak_f32
     bu = bps / peak_bw
-    vu = (cost["flops"] * 0 + tps * TRANSC_OP_EQUIV) / vpu
+    vu = tps * TRANSC_OP_EQUIV / vpu
     bound = max([("mxu_compute", fu), ("hbm_bandwidth", bu),
                  ("vpu_transcendental_est", vu)], key=lambda kv: kv[1])
     return {
@@ -200,19 +197,13 @@ def target_step(system, cfg, batch, steps=8):
             n_steps=n, shared_window="verified").rms_res)
 
     # TIME: differenced closed-loop scans on the production (pallas) path
+    from _timing import differenced_median
+
     short, long = run_n(system.loop.est, steps), run_n(system.loop.est,
                                                        2 * steps)
-    short(scen).block_until_ready()
-    long(scen).block_until_ready()
-    est_t = []
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        short(scen).block_until_ready()
-        t1 = time.perf_counter()
-        long(scen).block_until_ready()
-        t2 = time.perf_counter()
-        est_t.append(((t2 - t1) - (t1 - t0)) / steps)
-    t_iter = float(np.median(est_t))
+    t_iter, _ = differenced_median(
+        lambda: short(scen).block_until_ready(),
+        lambda: long(scen).block_until_ready(), steps, REPEATS)
 
     # WORK: one-step lowering, pure-XLA estimator
     est_xla = system.loop.est.replace(use_pallas=False)

@@ -135,6 +135,12 @@ def simulate(
     ops/edge_flow.py); the default is the periodic sampled flow.
     """
     solver = solver or cfg.mpc.solver
+    if noise_seq is not None and noise_seq.shape[0] < n_steps:
+        # jax would silently CLAMP the out-of-bounds scan index and
+        # replay the last noise row -- a quietly wrong trajectory
+        raise ValueError(
+            f"noise_seq has {noise_seq.shape[0]} rows < n_steps="
+            f"{n_steps}")
     R = cfg.resolution
     nu_dim = models.influence.shape[1]
     nx = models.influence.shape[0]

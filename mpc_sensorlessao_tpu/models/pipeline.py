@@ -36,6 +36,28 @@ class System(NamedTuple):
     edge_state: edge_flow.EdgeFlowState | None = None  # at the test split
 
 
+def _design_matrices_host(cfg: SystemConfig, A1, A2, influence):
+    """Condensed MPC design matrices on the host CPU backend.
+
+    The single definition of the Q/P/R weighting, shared by build() and
+    with_horizon() so horizon sweeps always benchmark exactly the
+    controller build() produces."""
+    import numpy as np
+
+    nx = A1.shape[0]
+    nu = influence.shape[1]
+    Q = jnp.asarray(cfg.mpc.q_weight * np.eye(nx), dtype=jnp.float32)
+    P = jnp.asarray(cfg.mpc.p_weight_scale * cfg.mpc.q_weight * np.eye(nx),
+                    dtype=jnp.float32)
+    Rm = jnp.asarray(cfg.mpc.r_weight * np.eye(nu), dtype=jnp.float32)
+    cpu = hostcompute.cpu_device()
+    with hostcompute.on_cpu():
+        mats = mpc.design_matrices(
+            jax.device_put(A1, cpu), jax.device_put(A2, cpu),
+            jax.device_put(influence, cpu), cfg.mpc.horizon, Q, P, Rm)
+    return hostcompute.to_default(mats)
+
+
 def build(cfg: SystemConfig, key) -> System:
     """Build every subsystem from a config + PRNG key."""
     import dataclasses
@@ -118,19 +140,7 @@ def build(cfg: SystemConfig, key) -> System:
     A2 = (vmodel.coefficient(2) if cfg.mpc.var_order >= 2
           else jnp.zeros_like(A1))
 
-    nx = A1.shape[0]
-    nu = dm_model.n_actuators
-    Q = jnp.asarray(cfg.mpc.q_weight * np.eye(nx), dtype=jnp.float32)
-    P = jnp.asarray(cfg.mpc.p_weight_scale * cfg.mpc.q_weight * np.eye(nx),
-                    dtype=jnp.float32)
-    Rm = jnp.asarray(cfg.mpc.r_weight * np.eye(nu), dtype=jnp.float32)
-    with hostcompute.on_cpu():
-        mats = mpc.design_matrices(
-            jax.device_put(A1, hostcompute.cpu_device()),
-            jax.device_put(A2, hostcompute.cpu_device()),
-            jax.device_put(dm_model.influence, hostcompute.cpu_device()),
-            cfg.mpc.horizon, Q, P, Rm)
-    mats = hostcompute.to_default(mats)
+    mats = _design_matrices_host(cfg, A1, A2, dm_model.influence)
     prob = solvers.make_fastmpc_problem(
         A1, A2, dm_model.influence,
         q_weight=cfg.mpc.q_weight,
@@ -159,25 +169,10 @@ def with_horizon(system: System, cfg: SystemConfig) -> System:
     the horizon per call (the reference rebuilds its whole 23-arg
     Fast_MPC2 object instead, Fast_MPC/VAR_2/Fast_MPC2.m:28-55).
     """
-    import dataclasses as _dc  # noqa: F401
-    import numpy as np
-
-    nx = system.dm_model.influence.shape[0]
-    nu = system.dm_model.n_actuators
     A1 = system.var_model.coefficient(1)
     A2 = (system.var_model.coefficient(2) if cfg.mpc.var_order >= 2
           else jnp.zeros_like(A1))
-    Q = jnp.asarray(cfg.mpc.q_weight * np.eye(nx), dtype=jnp.float32)
-    P = jnp.asarray(cfg.mpc.p_weight_scale * cfg.mpc.q_weight * np.eye(nx),
-                    dtype=jnp.float32)
-    Rm = jnp.asarray(cfg.mpc.r_weight * np.eye(nu), dtype=jnp.float32)
-    with hostcompute.on_cpu():
-        cpu = hostcompute.cpu_device()
-        mats = mpc.design_matrices(
-            jax.device_put(A1, cpu), jax.device_put(A2, cpu),
-            jax.device_put(system.dm_model.influence, cpu),
-            cfg.mpc.horizon, Q, P, Rm)
-    mats = hostcompute.to_default(mats)
+    mats = _design_matrices_host(cfg, A1, A2, system.dm_model.influence)
     loop = closed_loop.make_loop_models(
         system.basis, system.est, system.dm_model, mats, system.loop.prob,
         horizon=cfg.mpc.horizon)

@@ -25,14 +25,20 @@ def _mpl():
     return plt
 
 
-def _finish(fig, save):
+def _finish(fig, save, close):
     if save is not None:
         fig.savefig(save, dpi=120, bbox_inches="tight")
+    if close:
+        # pyplot keeps every figure alive in its global registry; a
+        # per-step/per-cell loop that only wants the PNG must close or
+        # it leaks a rendered figure per call
+        import matplotlib.pyplot as plt
+        plt.close(fig)
     return fig
 
 
 def show_phase(phase, mask=None, title: str = "phase [rad]",
-               save: str | None = None):
+               save: str | None = None, close: bool = False):
     """Pupil phase map with the outside-pupil region blanked
     (telescopeAbstract.imagesc semantics: NaN outside the pupil)."""
     plt = _mpl()
@@ -45,11 +51,11 @@ def show_phase(phase, mask=None, title: str = "phase [rad]",
     ax.set_xticks([])
     ax.set_yticks([])
     fig.colorbar(im, ax=ax, shrink=0.85)
-    return _finish(fig, save)
+    return _finish(fig, save, close)
 
 
 def show_psf(image, log: bool = True, title: str = "PSF",
-             save: str | None = None):
+             save: str | None = None, close: bool = False):
     """PSF / camera frame display, log-stretched by default (the
     reference's imagesc(log10(psf)) idiom in the tutorials)."""
     plt = _mpl()
@@ -63,11 +69,11 @@ def show_psf(image, log: bool = True, title: str = "PSF",
     ax.set_xticks([])
     ax.set_yticks([])
     fig.colorbar(h, ax=ax, shrink=0.85)
-    return _finish(fig, save)
+    return _finish(fig, save, close)
 
 
 def show_telemetry(outputs, dt: float = 1.0 / 200.0,
-                   save: str | None = None):
+                   save: str | None = None, close: bool = False):
     """Closed-loop telemetry traces from a StepOutputs pytree: residual
     vs turbulence RMS, Strehl, and the input-norm trace -- the plots the
     reference builds by hand from its accumulator arrays
@@ -91,11 +97,12 @@ def show_telemetry(outputs, dt: float = 1.0 / 200.0,
     axes[2].set_xlabel("time [s]")
     fig.align_ylabels(axes)
     fig.tight_layout()
-    return _finish(fig, save)
+    return _finish(fig, save, close)
 
 
 def polar_surface(theta, rho, z, n_grid: int = 128,
-                  title: str = "", save: str | None = None):
+                  title: str = "", save: str | None = None,
+                  close: bool = False):
     """Surface over scattered polar samples (utilities.polar3,
     utilities.m:427-487): the reference draws a MATLAB polar-axes
     surface; here the samples are interpolated onto a Cartesian grid
@@ -124,4 +131,4 @@ def polar_surface(theta, rho, z, n_grid: int = 128,
     ax.set_aspect("equal")
     ax.set_title(title)
     fig.colorbar(im, ax=ax, shrink=0.85)
-    return _finish(fig, save)
+    return _finish(fig, save, close)
