@@ -16,6 +16,7 @@ complexity; a >>2x gap is the signal to build one.
 Usage: python benchmarks/cholesky_paths.py [batch] [nx] [horizon]
 """
 
+import os
 import sys
 import time
 
@@ -23,7 +24,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 from mpc_sensorlessao_tpu.models import solvers          # noqa: E402
 from mpc_sensorlessao_tpu.ops import newton_kkt          # noqa: E402
 

@@ -18,7 +18,11 @@ import time
 
 import jax
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/mpcsao_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -11,6 +11,7 @@ Usage: python benchmarks/full_protocol.py [resolution] [batch]
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -18,7 +19,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 from mpc_sensorlessao_tpu.models import pipeline, var                # noqa
 from mpc_sensorlessao_tpu.parallel import montecarlo                 # noqa
 from mpc_sensorlessao_tpu.utils import guards, metrics               # noqa

@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 from mpc_sensorlessao_tpu.ops import dft, pallas_kernels as pk, psf, zernike  # noqa: E402
 
 

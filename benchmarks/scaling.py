@@ -11,12 +11,17 @@ Usage: python benchmarks/scaling.py [scenarios_per_device] [steps] [out.json]
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
 import jax
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 from mpc_sensorlessao_tpu.models import pipeline                 # noqa: E402
 from mpc_sensorlessao_tpu.parallel import mesh as mesh_lib       # noqa: E402
 from mpc_sensorlessao_tpu.parallel import montecarlo             # noqa: E402

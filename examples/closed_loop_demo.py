@@ -9,6 +9,7 @@ OOMAO's adaptiveOpticsHowto.m.
 """
 
 import dataclasses
+import os
 import sys
 
 import jax
@@ -16,7 +17,11 @@ import jax
 # demos run on the host CPU backend (portable; benchmarks cover TPU)
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 from mpc_sensorlessao_tpu.models import pipeline                   # noqa
 from mpc_sensorlessao_tpu.utils import metrics                     # noqa
 from mpc_sensorlessao_tpu.utils.config import reference_config     # noqa

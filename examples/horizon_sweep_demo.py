@@ -11,6 +11,7 @@ writes a closed-loop telemetry PNG with the headless display helpers
 """
 
 import dataclasses
+import os
 import sys
 
 import jax
@@ -19,7 +20,11 @@ import numpy as np
 # demos run on the host CPU backend (portable; benchmarks cover TPU)
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 from mpc_sensorlessao_tpu.models import pipeline                   # noqa
 from mpc_sensorlessao_tpu.utils.config import reference_config     # noqa
 

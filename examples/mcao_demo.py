@@ -10,6 +10,7 @@ by a short Monte-Carlo with projected layered screens.
     python examples/mcao_demo.py
 """
 
+import os
 import sys
 
 import numpy as np
@@ -19,7 +20,11 @@ import jax.numpy as jnp
 # demos run on the host CPU backend (portable; benchmarks cover TPU)
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 from mpc_sensorlessao_tpu.models import mcao                     # noqa
 from mpc_sensorlessao_tpu.ops import phase_screens, relay, zernike  # noqa
 from mpc_sensorlessao_tpu.ops import zernike_stats as zs         # noqa

@@ -9,6 +9,7 @@ variance ladder and tip-tilt statistics.
     python examples/turbulence_demo.py
 """
 
+import os
 import sys
 
 import numpy as np
@@ -17,7 +18,11 @@ import jax
 # demos run on the host CPU backend (portable; benchmarks cover TPU)
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 from mpc_sensorlessao_tpu.ops import phase_screens, phase_stats   # noqa
 from mpc_sensorlessao_tpu.ops import zernike_stats as zs          # noqa
 from mpc_sensorlessao_tpu.utils.config import (                   # noqa

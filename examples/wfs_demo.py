@@ -7,6 +7,7 @@ reconstruction, and a 3-guide-star tomographic estimate.
     python examples/wfs_demo.py
 """
 
+import os
 import sys
 
 import numpy as np
@@ -16,7 +17,11 @@ import jax.numpy as jnp
 # demos run on the host CPU backend (portable; benchmarks cover TPU)
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, ".")
+try:
+    import mpc_sensorlessao_tpu  # noqa: F401  (installed package)
+except ImportError:  # source checkout without `pip install -e .`
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
 from mpc_sensorlessao_tpu.models import (                        # noqa
     imaging, slopes_mmse, tomography, wfs)
 from mpc_sensorlessao_tpu.ops import phase_screens               # noqa

@@ -120,6 +120,7 @@ def simulate(
     edge_state: edge_flow_mod.EdgeFlowState | None = None,
     init_u: jnp.ndarray | None = None,
     noise_seq: jnp.ndarray | None = None,
+    turb_key: jnp.ndarray | None = None,
 ) -> StepOutputs:
     """Run the closed loop for n_steps starting at absolute turbulence step
     ``start_step`` (the reference starts at the test split,
@@ -133,6 +134,14 @@ def simulate(
     ``edge_model``/``edge_state`` switch turbulence to the stateful
     conditional-Gaussian frozen flow (reference-parity screen extension,
     ops/edge_flow.py); the default is the periodic sampled flow.
+
+    ``turb_key`` (optional) decouples the turbulence PRNG stream from
+    the per-scenario ``key``: pass ONE unbatched key (plus an unbatched
+    ``edge_state``) under ``vmap`` and the conditional-flow evolution
+    traces UNBATCHED -- one shared turbulence realization amortized over
+    the whole scenario batch, the edge-flow analogue of the
+    shared-window fast path (parallel/montecarlo.run_batch).  Default:
+    folded from ``key`` (per-scenario independent turbulence).
     """
     solver = solver or cfg.mpc.solver
     if noise_seq is not None and noise_seq.shape[0] < n_steps:
@@ -154,7 +163,8 @@ def simulate(
     dU_base_min = jnp.full((N * nu_dim,), -du, dtype=jnp.float32)
     dU_base_max = jnp.full((N * nu_dim,), du, dtype=jnp.float32)
 
-    turb_key = jax.random.fold_in(key, 0x7e5)
+    if turb_key is None:
+        turb_key = jax.random.fold_in(key, 0x7e5)
 
     fuse = (cfg.mpc.est_gain != 1.0
             or cfg.mpc.innovation_gate is not None)

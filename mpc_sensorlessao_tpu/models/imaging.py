@@ -185,11 +185,21 @@ def fit_fwhm(profile: jnp.ndarray) -> jnp.ndarray:
     subpixel fractional band: radius = sqrt(area / pi) of the half-max
     region, which equals the mean contour radius for the (near-)convex
     peaks this is used on.  Returns the RADIUS in pixels (the reference's
-    `rc`; FWHM = 2 rc for a circular peak)."""
+    `rc`; FWHM = 2 rc for a circular peak).
+
+    Subpixel model: within a crossing pixel the profile is locally
+    linear, so the covered fraction is 0.5 + (p - 0.5)/|grad p| clipped
+    to [0, 1] -- the ramp width adapts to the local gradient magnitude
+    (a fixed-width band would over/under-count area depending on how
+    steep the peak is; ADVICE r4).  For elongated peaks the returned
+    area-equivalent radius is the geometric mean of the semi-axes,
+    which lower-bounds the reference's contour-mean radius by
+    (2 sqrt(ab)/(a+b)) -- exact for circular contours
+    (tests/test_imaging.py covers both)."""
     p = profile / jnp.max(profile)
-    # fractional coverage: 1 inside, 0 outside, linear ramp across the
-    # half-max crossing band for subpixel area
-    frac = jnp.clip((p - 0.5) / 0.05 + 0.5, 0.0, 1.0)
+    gy, gx = jnp.gradient(p)
+    g = jnp.sqrt(gx * gx + gy * gy)
+    frac = jnp.clip(0.5 + (p - 0.5) / jnp.maximum(g, 1e-12), 0.0, 1.0)
     area = jnp.sum(frac)
     return jnp.sqrt(area / jnp.pi)
 

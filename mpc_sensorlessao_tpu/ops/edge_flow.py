@@ -177,8 +177,30 @@ def build(seed, atm: AtmosphereConfig, tel: TelescopeConfig,
     return model, state
 
 
+def batch_states(seed, atm: AtmosphereConfig, tel: TelescopeConfig,
+                 n_scenarios: int, dtype=jnp.float32) -> EdgeFlowState:
+    """B independent initial screen sets -> (B, L, n, n) batched state.
+
+    Per-scenario Monte-Carlo over turbulence realizations: pass to
+    parallel/montecarlo.run_batch(edge_state=..., shared_turbulence=
+    False); each scenario then evolves its own conditional-Gaussian flow
+    from its own FFT-synthesized seed screen (host-side setup, same
+    non-periodic crop as build())."""
+    n = tel.resolution
+    batch = []
+    for b in range(n_scenarios):
+        phases = []
+        for i in range(atm.n_layers):
+            scr = np.asarray(phase_screens.synthesize_screen(
+                (int(seed) + 7919 * (b + 1)) * 1000003 + i, atm.layer(i),
+                n, tel.pixel_pitch))
+            phases.append(scr[:n, :n])
+        batch.append(np.stack(phases))
+    return EdgeFlowState(phases=jnp.asarray(np.stack(batch), dtype=dtype))
+
+
 def _draw_border(model: EdgeFlowModel, layer: int, phase, key):
-    """X = A Z + B eps (telescopeAbstract.m:898-901)."""
+    """X = A Z + B eps (telescopeAbstract.m:898-901), one layer."""
     Z = phase.reshape(-1)[model.inner_idx]
     eps = jax.random.normal(key, (model.Bc.shape[-1],), dtype=phase.dtype)
     return model.A[layer] @ Z + model.Bc[layer] @ eps
@@ -186,10 +208,34 @@ def _draw_border(model: EdgeFlowModel, layer: int, phase, key):
 
 def _embed(model: EdgeFlowModel, phase, border):
     """Assemble the (n+2, n+2) frame: interior = phase, ring = border
-    (telescopeAbstract.m:899-901 mapShift fill)."""
+    (telescopeAbstract.m:899-901 mapShift fill), one layer."""
     frame = jnp.pad(phase, 1)
     flat = frame.reshape(-1).at[model.outer_idx].set(border)
     return flat.reshape(frame.shape)
+
+
+def _draw_borders_all(model: EdgeFlowModel, phases, key):
+    """X = A Z + B eps for ALL layers at once (telescopeAbstract.m:898-901).
+
+    One (L, nZ) ring gather, two batched-over-layers matmuls, one
+    (L, nX) threefry draw -- replaces 4L separate small ops (the r4
+    per-layer path spent most of its 255 us/step overhead on op count,
+    not arithmetic; benchmarks/edge_flow_breakdown.py)."""
+    L = phases.shape[0]
+    Z = phases.reshape(L, -1)[:, model.inner_idx]              # (L, nZ)
+    eps = jax.random.normal(key, (L, model.Bc.shape[-1]),
+                            dtype=phases.dtype)
+    return (jnp.einsum("lxz,lz->lx", model.A, Z)
+            + jnp.einsum("lxy,ly->lx", model.Bc, eps))         # (L, nX)
+
+
+def _embed_all(model: EdgeFlowModel, phases, borders):
+    """(L, n+2, n+2) frames: interior = phases, ring = borders -- one pad
+    + one scatter for all layers."""
+    L, n = phases.shape[0], phases.shape[1]
+    frames = jnp.pad(phases, ((0, 0), (1, 1), (1, 1)))
+    flat = frames.reshape(L, -1).at[:, model.outer_idx].set(borders)
+    return flat.reshape(L, n + 2, n + 2)
 
 
 def _shift_exact(frame, n: int, dy: int, dx: int):
@@ -218,7 +264,7 @@ def advance(model: EdgeFlowModel, state: EdgeFlowState, idx, key):
     """One control-step update of every layer; returns (state', pupil
     phase).  `idx` is the traced absolute step index (drives the
     integer-lattice schedule); `key` a per-rollout PRNG key (folded per
-    layer/step/sub-step).
+    step/sub-step; the (L, nX) draw covers all layers).
 
     Equivalent of `+tel` (telescopeAbstract.m:384-395 -> update :288-372)
     followed by the single on-axis relay sum (telescopeAbstract.m:446-447).
@@ -226,7 +272,69 @@ def advance(model: EdgeFlowModel, state: EdgeFlowState, idx, key):
     shifts (o = cumulative offset (idx+1)*step, each shift preceded by a
     conditional-Gaussian border draw); the sub-pixel remainder frac(o) is
     applied only to the *returned* pupil phase.
+
+    Layer-vectorized (round 5): border draws and frame assembly run for
+    all L layers in single batched ops; only the cheap per-layer slice
+    selection stays a Python loop.  Layers whose own sub-step budget is
+    below the global bound take masked no-op rounds (the wasted draw
+    never touches the state).  Under ``vmap`` with an UNBATCHED
+    state/key this whole function traces unbatched -- the shared-
+    turbulence Monte-Carlo path (parallel/montecarlo.run_batch)
+    amortizes the evolution over the entire scenario batch.
     """
+    n = model.size
+    L = model.n_layers
+    idxf = jnp.asarray(idx, jnp.float32)
+    kstep = jax.random.fold_in(key, idx)
+
+    # per-layer whole-pixel shift counts this step (traced) and static
+    # signs; K_max bounds the masked sub-step rounds for every layer
+    kys, kxs, sgns = [], [], []
+    fys, fxs = [], []
+    for l in range(L):
+        sy, sx = model.step_px[l]
+        o_y, o_x = (idxf + 1) * sy, (idxf + 1) * sx
+        kys.append((jnp.floor(o_y) - jnp.floor(idxf * sy)).astype(jnp.int32))
+        kxs.append((jnp.floor(o_x) - jnp.floor(idxf * sx)).astype(jnp.int32))
+        sgns.append((1 if sy > 0 else -1, 1 if sx > 0 else -1))
+        fys.append(o_y - jnp.floor(o_y))
+        fxs.append(o_x - jnp.floor(o_x))
+    K_max = max((max(ns) for ns in model.nsub), default=0)
+
+    phases = state.phases                                       # (L, n, n)
+    for s in range(K_max):
+        borders = _draw_borders_all(model, phases,
+                                    jax.random.fold_in(kstep, s))
+        frames = _embed_all(model, phases, borders)
+        new = []
+        for l in range(L):
+            sgn_y, sgn_x = sgns[l]
+            do_y = s < jnp.abs(kys[l])
+            do_x = s < jnp.abs(kxs[l])
+            new.append(jnp.where(
+                do_y & do_x, _shift_exact(frames[l], n, sgn_y, sgn_x),
+                jnp.where(do_y, _shift_exact(frames[l], n, sgn_y, 0),
+                          jnp.where(do_x,
+                                    _shift_exact(frames[l], n, 0, sgn_x),
+                                    phases[l]))))
+        phases = jnp.stack(new)
+
+    # output-side fractional sampling (never written back)
+    borders = _draw_borders_all(model, phases,
+                                jax.random.fold_in(kstep, K_max))
+    frames = _embed_all(model, phases, borders)
+    out = jnp.zeros((n, n), dtype=phases.dtype)
+    for l in range(L):
+        out = out + _shift_dynamic(frames[l], n, fys[l], fxs[l])
+    return EdgeFlowState(phases=phases), out
+
+
+def advance_per_layer(model: EdgeFlowModel, state: EdgeFlowState, idx,
+                      key):
+    """The round-4 per-layer implementation, kept for the A/B breakdown
+    (benchmarks/edge_flow_breakdown.py).  Distinct PRNG stream from
+    `advance` (per-layer vs per-step folds) -- statistically equivalent,
+    not bit-equal."""
     n = model.size
     idxf = jnp.asarray(idx, jnp.float32)
     new_phases, outs = [], []
@@ -250,7 +358,6 @@ def advance(model: EdgeFlowModel, state: EdgeFlowState, idx, key):
                 jnp.where(do_y, _shift_exact(frame, n, sgn_y, 0),
                           jnp.where(do_x, _shift_exact(frame, n, 0, sgn_x),
                                     ph)))
-        # output-side fractional sampling (never written back)
         border = _draw_border(model, l, ph, jax.random.fold_in(kl, K))
         frame = _embed(model, ph, border)
         fy = o_now[0] - jnp.floor(o_now[0])

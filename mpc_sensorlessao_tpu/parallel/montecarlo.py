@@ -108,8 +108,20 @@ def _settled_slice(n_steps: int) -> int:
 def assert_shared_window(scen: ScenarioBatch) -> None:
     """Concrete-value check that every scenario shares one turbulence
     window.  Call OUTSIDE jit, then pass ``shared_window="verified"`` to
-    run_batch (inside jit the starts are tracers and cannot be checked)."""
-    starts = np.asarray(scen.start_step)
+    run_batch (inside jit the starts are tracers and cannot be checked).
+
+    Multi-process global arrays span non-addressable devices and cannot
+    be materialized with np.asarray; only this process's addressable
+    shards are checked there (sufficient in practice: the deterministic
+    per-process scenario builds agree, and every process runs the same
+    check on its own shard)."""
+    x = scen.start_step
+    if (isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer)
+            and not x.is_fully_addressable):
+        starts = np.concatenate(
+            [np.asarray(s.data).ravel() for s in x.addressable_shards])
+    else:
+        starts = np.asarray(x)
     if not (starts == starts.flat[0]).all():
         raise ValueError(
             "scenarios have distinct start_steps; use the batched path")
@@ -117,7 +129,11 @@ def assert_shared_window(scen: ScenarioBatch) -> None:
 
 def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
               n_steps: int, solver: str | None = None,
-              shared_window: bool | str = False) -> closed_loop.StepOutputs:
+              shared_window: bool | str = False,
+              edge_model=None, edge_state=None,
+              shared_turbulence: bool | str = False,
+              turb_key=None,
+              init_u=None) -> closed_loop.StepOutputs:
     """vmap the closed loop over the scenario axis (single device).
 
     ``shared_window=True`` asserts every scenario uses the SAME
@@ -130,7 +146,71 @@ def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
     When calling from inside jit (starts are tracers and cannot be
     value-checked), run ``assert_shared_window(scen)`` on the concrete
     batch first and pass ``shared_window="verified"``.
+
+    ``edge_model``/``edge_state`` switch turbulence to the conditional-
+    Gaussian frozen flow (reference-parity, ops/edge_flow.py).  Two
+    Monte-Carlo modes:
+
+    * ``shared_turbulence=True`` -- ONE turbulence realization shared by
+      every scenario (the edge-flow analogue of ``shared_window``): the
+      stateful evolution traces unbatched under vmap and is amortized
+      over the batch.  Requires a shared start step (same check /
+      "verified" escape hatch as ``shared_window``).  ``turb_key``
+      selects the realization (default: folded from cfg.sim.seed).
+    * default -- per-scenario turbulence: each scenario folds its own
+      turbulence stream from ``scen.key``; pass an ``edge_state`` with a
+      leading scenario axis (L->B,L,n,n) for per-scenario initial
+      screens (ops/edge_flow.batch_states), or an unbatched one to
+      share the initial condition and let the border redraw decorrelate.
+
+    ``init_u`` (optional, (nu,) or (B, nu)) is the warm-start command
+    (MPCConfig.warm_start; pipeline.warm_start_command).
     """
+    if edge_model is not None:
+        import jax.random as jrandom
+
+        init_axis = (None if init_u is None or init_u.ndim == 1 else 0)
+        if shared_turbulence:
+            s0 = scen.start_step[0]
+            try:
+                assert_shared_window(scen)
+            except jax.errors.TracerArrayConversionError:
+                if shared_turbulence != "verified":
+                    raise ValueError(
+                        "run_batch(shared_turbulence=True) with traced "
+                        "start_steps: check the concrete batch with "
+                        "assert_shared_window() and pass "
+                        "shared_turbulence='verified'.") from None
+            if turb_key is None:
+                turb_key = jrandom.fold_in(
+                    jrandom.PRNGKey(int(cfg.sim.seed)), 0x7e5)
+            if edge_state.phases.ndim != 3:
+                raise ValueError(
+                    "shared_turbulence needs ONE unbatched edge_state")
+
+            def one_edge_shared(key, mag, noise_scale, iu):
+                return closed_loop.simulate(
+                    models, layers, cfg, key, n_steps=n_steps,
+                    start_step=s0, solver=solver, mag=mag,
+                    noise_scale=noise_scale, edge_model=edge_model,
+                    edge_state=edge_state, turb_key=turb_key, init_u=iu)
+
+            return jax.vmap(one_edge_shared,
+                            in_axes=(0, 0, 0, init_axis))(
+                scen.key, scen.mag, scen.noise_scale, init_u)
+
+        state_axis = 0 if edge_state.phases.ndim == 4 else None
+
+        def one_edge(s: ScenarioBatch, est, iu):
+            return closed_loop.simulate(
+                models, layers, cfg, s.key, n_steps=n_steps,
+                start_step=s.start_step, solver=solver, mag=s.mag,
+                noise_scale=s.noise_scale, edge_model=edge_model,
+                edge_state=est, init_u=iu)
+
+        return jax.vmap(one_edge, in_axes=(0, state_axis, init_axis))(
+            scen, edge_state, init_u)
+
     if shared_window:
         s0 = scen.start_step[0]
         try:  # guard: silently replaying one window as N would corrupt
@@ -138,17 +218,18 @@ def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
             assert_shared_window(scen)
         except jax.errors.TracerArrayConversionError:
             # traced start_steps can't be value-checked at trace time --
-            # be loud instead of silent so a wrong call site is visible
+            # a silent fall-through would replay start_step[0] for every
+            # scenario and quietly corrupt the statistics, so REFUSE:
+            # the caller has an explicit escape hatch (check the concrete
+            # batch with assert_shared_window, pass "verified")
             if shared_window != "verified":
-                import warnings
-                warnings.warn(
+                raise ValueError(
                     "run_batch(shared_window=True) called with traced "
                     "start_steps: the identical-window invariant cannot "
-                    "be verified; every scenario will replay "
-                    "start_step[0].  Check the concrete batch with "
-                    "assert_shared_window() and pass "
-                    "shared_window='verified' to silence this.",
-                    stacklevel=2)
+                    "be verified at trace time and every scenario would "
+                    "replay start_step[0].  Check the concrete batch "
+                    "with assert_shared_window() and pass "
+                    "shared_window='verified'.") from None
 
         def one_shared(key, mag, noise_scale):
             return closed_loop.simulate(
@@ -167,31 +248,24 @@ def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
     return jax.vmap(one)(scen)
 
 
-def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
-                n_steps: int, mesh, solver: str | None = None,
-                shared_window: bool | str = False) -> MonteCarloStats:
-    """shard_map over the mesh scenario axis; psum-reduced statistics.
-
-    Scenario count must be a multiple of the mesh size
-    (mesh.pad_to_devices).  Models/layers are replicated (broadcast once),
-    per-scenario parameters sharded; only O(1) statistics cross chips.
-    """
-    if shared_window is True:
-        # verify on the concrete batch here; inside shard_map the starts
-        # are tracers and run_batch could not check them
-        try:
-            assert_shared_window(scen)
-            shared_window = "verified"
-        except jax.errors.TracerArrayConversionError:
-            pass  # outer-jitted call: run_batch warns below
-    n = scen.start_step.shape[0]
-    n_dev = mesh.devices.size
-    assert n % n_dev == 0, (n, n_dev)
+def make_sharded_runner(models, layers, cfg: SystemConfig, n_steps: int,
+                        mesh, solver: str | None = None,
+                        shared_window: bool | str = False):
+    """Build the shard_map Monte-Carlo program ONCE; returns a callable
+    ``scen -> MonteCarloStats`` reusable across scenario batches of the
+    same shape -- repeated sweeps (throughput timing, chunked
+    populations) pay tracing/compilation a single time.
+    ``run_sharded`` is the one-shot convenience wrapper."""
     settle = _settled_slice(n_steps)
+    # shared_window=True: each concrete batch is verified in run();
+    # inside the traced program the starts are tracers, so the traced
+    # path is built with the "verified" escape hatch
+    verify_each = shared_window is True
+    sw_traced = "verified" if shared_window else False
 
     def local(models, layers, scen_shard: ScenarioBatch) -> MonteCarloStats:
         out = run_batch(models, layers, cfg, scen_shard, n_steps, solver,
-                        shared_window=shared_window)
+                        shared_window=sw_traced)
         res = out.rms_res[:, settle:]
         turb = out.rms_turb[:, settle:]
         strehl = out.strehl[:, settle:]
@@ -264,18 +338,50 @@ def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
 
         return jax.tree.map(put, tree)
 
-    models = _place(models, P())
-    layers = _place(layers, P())
-    scen = _place(scen, P(SCENARIO_AXIS))
-    stats = jax.jit(sharded)(models, layers, scen)
-    n_f = jnp.maximum(stats.n_scenarios, 1.0)
-    return MonteCarloStats(
-        mean_rms_res=stats.mean_rms_res / n_f,
-        mean_rms_turb=stats.mean_rms_turb / n_f,
-        mean_strehl=stats.mean_strehl / n_f,
-        mean_strehl_exact=stats.mean_strehl_exact / n_f,
-        max_rms_res=stats.max_rms_res,
-        mean_cost=stats.mean_cost / n_f,
-        n_scenarios=stats.n_scenarios,
-        n_diverged=stats.n_diverged,
-    )
+    jitted = jax.jit(sharded)
+    models_p = _place(models, P())
+    layers_p = _place(layers, P())
+    n_dev = mesh.devices.size
+
+    def run(scen: ScenarioBatch) -> MonteCarloStats:
+        if verify_each:
+            try:
+                assert_shared_window(scen)
+            except jax.errors.TracerArrayConversionError:
+                raise ValueError(
+                    "sharded runner built with shared_window=True got a "
+                    "traced scenario batch; verify the concrete batch "
+                    "with assert_shared_window() and build the runner "
+                    "with shared_window='verified'.") from None
+        n = scen.start_step.shape[0]
+        assert n % n_dev == 0, (n, n_dev)
+        scen_p = _place(scen, P(SCENARIO_AXIS))
+        stats = jitted(models_p, layers_p, scen_p)
+        n_f = jnp.maximum(stats.n_scenarios, 1.0)
+        return MonteCarloStats(
+            mean_rms_res=stats.mean_rms_res / n_f,
+            mean_rms_turb=stats.mean_rms_turb / n_f,
+            mean_strehl=stats.mean_strehl / n_f,
+            mean_strehl_exact=stats.mean_strehl_exact / n_f,
+            max_rms_res=stats.max_rms_res,
+            mean_cost=stats.mean_cost / n_f,
+            n_scenarios=stats.n_scenarios,
+            n_diverged=stats.n_diverged,
+        )
+
+    return run
+
+
+def run_sharded(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
+                n_steps: int, mesh, solver: str | None = None,
+                shared_window: bool | str = False) -> MonteCarloStats:
+    """shard_map over the mesh scenario axis; psum-reduced statistics.
+
+    Scenario count must be a multiple of the mesh size
+    (mesh.pad_to_devices).  Models/layers are replicated (broadcast once),
+    per-scenario parameters sharded; only O(1) statistics cross chips.
+    One-shot wrapper over ``make_sharded_runner`` (use the runner
+    directly to amortize tracing/compilation across repeated batches).
+    """
+    return make_sharded_runner(models, layers, cfg, n_steps, mesh,
+                               solver, shared_window)(scen)

@@ -18,12 +18,17 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save(path: str, pytree: Any, config=None) -> None:
-    """Save an array pytree (+ optional dataclass config) to ``path``."""
+def save(path: str, pytree: Any, config=None,
+         overwrite: bool = False) -> None:
+    """Save an array pytree (+ optional dataclass config) to ``path``.
+
+    ``overwrite=True`` replaces an existing checkpoint atomically --
+    the periodic-checkpoint pattern (benchmarks/montecarlo_100k.py
+    persists per-chunk summaries + cursor after every chunk)."""
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(os.path.join(path, "arrays"),
-                   jax.tree.map(np.asarray, pytree))
+                   jax.tree.map(np.asarray, pytree), force=overwrite)
     if config is not None:
         with open(os.path.join(path, "config.json"), "w") as f:
             json.dump(dataclasses.asdict(config), f, indent=2, default=str)

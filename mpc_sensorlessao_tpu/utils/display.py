@@ -115,12 +115,21 @@ def polar_surface(theta, rho, z, n_grid: int = 128,
     r_max = rho.max() if rho.size else 1.0
     g = np.linspace(-r_max, r_max, n_grid)
     gx, gy = np.meshgrid(g, g)
-    # inverse-distance weighting: dependency-free scattered interp
-    d2 = ((gx.ravel()[:, None] - x[None, :]) ** 2
-          + (gy.ravel()[:, None] - y[None, :]) ** 2)
-    w = 1.0 / (d2 + (0.05 * r_max) ** 2)
-    zi = (w @ z) / w.sum(axis=1)
-    zi = zi.reshape(n_grid, n_grid)
+    # inverse-distance weighting: dependency-free scattered interp,
+    # accumulated in grid-row chunks so peak memory stays O(chunk * n)
+    # instead of one (n_grid^2, n_samples) matrix (ADVICE r4)
+    gxf, gyf = gx.ravel(), gy.ravel()
+    num = np.empty(gxf.size)
+    den = np.empty(gxf.size)
+    chunk = max(1, (1 << 22) // max(x.size, 1))   # ~32 MB f64 per chunk
+    for lo in range(0, gxf.size, chunk):
+        sl = slice(lo, lo + chunk)
+        d2 = ((gxf[sl, None] - x[None, :]) ** 2
+              + (gyf[sl, None] - y[None, :]) ** 2)
+        w = 1.0 / (d2 + (0.05 * r_max) ** 2)
+        num[sl] = w @ z
+        den[sl] = w.sum(axis=1)
+    zi = (num / den).reshape(n_grid, n_grid)
     zi[np.hypot(gx, gy) > r_max] = np.nan
     fig, ax = plt.subplots(figsize=(4.5, 4))
     im = ax.imshow(zi, origin="lower", extent=(-r_max, r_max,

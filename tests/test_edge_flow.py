@@ -141,6 +141,113 @@ def test_slow_wind_regime_runs():
     assert 0 < diff < 0.5 * np.abs(phases).std()
 
 
+def test_vectorized_advance_matches_per_layer_translation():
+    """The layer-vectorized advance (round 5) must preserve the frozen-
+    flow translation invariant per layer exactly like the r4 per-layer
+    path (different PRNG stream, same deterministic shift schedule)."""
+    atm = dataclasses.replace(
+        ATM1, altitudes=(0.0, 4000.0), wind_speeds=(8.0, 3.0),
+        wind_directions=(0.0, math.pi / 2), fractional_r0=(0.7, 0.3))
+    model, state = edge_flow.build(5, atm, TEL32)
+    key = jax.random.PRNGKey(5)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("use_old",))
+    def run(state, use_old):
+        def step(st, idx):
+            fn = (edge_flow.advance_per_layer if use_old
+                  else edge_flow.advance)
+            st, ph = fn(model, st, idx, key)
+            return st, ph
+        return jax.lax.scan(step, state, jnp.arange(10))
+
+    for use_old in (False, True):
+        final, _ = run(state, use_old=use_old)
+        scr = np.asarray(final.phases)
+        assert np.isfinite(scr).all()
+        # layer 0 travels +x at sx px/step; after 10 steps content that
+        # started in columns [0, n-d) sits in columns [d, n)
+        sx = model.step_px[0][1]
+        d = int(np.floor(10 * sx))
+        a0 = np.asarray(state.phases[0])
+        cc = np.corrcoef(scr[0][:, d:].ravel(),
+                         a0[:, :-d].ravel())[0, 1]
+        assert cc > 0.95, (use_old, cc)
+
+
+def test_run_batch_shared_turbulence_matches_single():
+    """montecarlo.run_batch(shared_turbulence=True) must reproduce each
+    scenario's single-call trajectory (same turb_key; equal up to f32
+    fusion rounding), while amortizing ONE turbulence evolution across
+    the batch."""
+    import dataclasses as dc
+
+    from mpc_sensorlessao_tpu.models import closed_loop, pipeline
+    from mpc_sensorlessao_tpu.parallel import montecarlo
+
+    cfg = reference_config(resolution=32)
+    cfg = cfg.replace(
+        atmosphere=dataclasses.replace(cfg.atmosphere, flow="conditional"),
+        sim=dc.replace(cfg.sim, n_train=120, n_valid=20, n_test=8))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    scen = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(1), 3,
+                                     d_over_r0_grid=(5.0, 10.0))
+    tk = jax.random.PRNGKey(77)
+    out = montecarlo.run_batch(
+        system.loop, system.layers, cfg, scen, n_steps=8,
+        edge_model=system.edge_model, edge_state=system.edge_state,
+        shared_turbulence=True, turb_key=tk)
+    for i in range(3):
+        single = closed_loop.simulate(
+            system.loop, system.layers, cfg, scen.key[i], n_steps=8,
+            start_step=scen.start_step[i], mag=scen.mag[i],
+            noise_scale=scen.noise_scale[i],
+            edge_model=system.edge_model, edge_state=system.edge_state,
+            turb_key=tk)
+        # vmapped vs single-call lowerings fuse differently; same
+        # trajectory up to f32 rounding (like the shared-window test)
+        np.testing.assert_allclose(np.asarray(out.rms_res[i]),
+                                   np.asarray(single.rms_res),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.u[i]),
+                                   np.asarray(single.u),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_run_batch_per_scenario_turbulence_decorrelates():
+    """Default edge Monte-Carlo mode: per-scenario initial screens
+    (batch_states) + per-scenario turbulence keys give distinct,
+    finite, controlled trajectories."""
+    import dataclasses as dc
+
+    from mpc_sensorlessao_tpu.models import pipeline
+    from mpc_sensorlessao_tpu.parallel import montecarlo
+
+    cfg = reference_config(resolution=32)
+    cfg = cfg.replace(
+        atmosphere=dataclasses.replace(cfg.atmosphere, flow="conditional"),
+        sim=dc.replace(cfg.sim, n_train=120, n_valid=20, n_test=10))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    tel = dc.replace(cfg.telescope, resolution=cfg.resolution)
+    B = 3
+    states = edge_flow.batch_states(123, cfg.atmosphere, tel, B)
+    assert states.phases.shape[0] == B
+    scen = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(1), B)
+    out = montecarlo.run_batch(
+        system.loop, system.layers, cfg, scen, n_steps=10,
+        edge_model=system.edge_model, edge_state=states)
+    turb = np.asarray(out.rms_turb)
+    res = np.asarray(out.rms_res)
+    assert np.isfinite(res).all()
+    # distinct realizations: the uncorrected turbulence differs across
+    # scenarios at every step
+    assert np.abs(turb[0] - turb[1]).max() > 1e-3
+    assert np.abs(turb[1] - turb[2]).max() > 1e-3
+    # the loop still rejects on every realization
+    assert (res[:, -4:].mean(axis=1) < turb[:, -4:].mean(axis=1)).all()
+
+
 def test_closed_loop_with_conditional_flow():
     """End-to-end: pipeline build + closed loop with flow="conditional"."""
     from mpc_sensorlessao_tpu.models import pipeline

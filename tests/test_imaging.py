@@ -132,6 +132,30 @@ def test_fit_fwhm_gaussian():
     assert rc == pytest.approx(fwhm / 2.0, rel=0.05)
 
 
+def test_fit_fwhm_elongated_gaussian():
+    # gradient-adaptive subpixel band (ADVICE r4): for an elliptical
+    # Gaussian the half-max contour has semiaxes (fa/2, fb/2), so the
+    # area-equivalent radius is sqrt(fa*fb)/2 regardless of elongation
+    fa, fb = 12.0, 5.0
+    u = np.arange(64, dtype=np.float64) - 32.0
+    x, y = np.meshgrid(u, u)
+    sa = fa / (2.0 * np.sqrt(2.0 * np.log(2.0)))
+    sb = fb / (2.0 * np.sqrt(2.0 * np.log(2.0)))
+    f = np.exp(-(x / sa) ** 2 / 2.0 - (y / sb) ** 2 / 2.0)
+    rc = float(imaging.fit_fwhm(jnp.asarray(f)))
+    assert rc == pytest.approx(np.sqrt(fa * fb) / 2.0, rel=0.05)
+
+
+def test_fit_fwhm_sharp_peak():
+    # a near-delta peak (steep gradients) must not blow up the adaptive
+    # ramp: area stays close to the hard-threshold count
+    f = np.full((32, 32), 1e-3)
+    f[16, 16] = 1.0
+    f[16, 15] = f[16, 17] = f[15, 16] = f[17, 16] = 0.6
+    rc = float(imaging.fit_fwhm(jnp.asarray(f)))
+    assert 0.5 < rc < 2.5
+
+
 def test_gerchberg_saxton_recovers_psf():
     # forward: pupil + known smooth phase -> focal intensity; GS must
     # find a phase whose focal intensity matches the target closely

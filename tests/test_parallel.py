@@ -139,6 +139,37 @@ def test_shared_window_batch_matches_batched_path():
                                atol=1e-5)
 
 
+def test_shared_window_traced_unverified_raises():
+    """shared_window=True with TRACED start_steps must refuse loudly:
+    a silent fall-through would replay start_step[0] for every scenario
+    (ADVICE r4 -- was a warning, now a ValueError)."""
+    import dataclasses
+    cfg = reference_config(resolution=32)
+    cfg = cfg.replace(sim=dataclasses.replace(
+        cfg.sim, n_train=120, n_valid=30, n_test=4))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    scen = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(1), 2)
+
+    @jax.jit
+    def run(s):
+        return montecarlo.run_batch(system.loop, system.layers, cfg, s,
+                                    n_steps=4, shared_window=True)
+
+    with pytest.raises(ValueError, match="traced"):
+        run(scen)
+
+    # ... and the explicit escape hatch still works
+    montecarlo.assert_shared_window(scen)
+
+    @jax.jit
+    def run_ok(s):
+        return montecarlo.run_batch(system.loop, system.layers, cfg, s,
+                                    n_steps=4,
+                                    shared_window="verified").rms_res
+
+    assert np.isfinite(np.asarray(run_ok(scen))).all()
+
+
 def test_tensor_parallel_estimator_matches_unsharded():
     """p-dimension sharded estimate + Gauss-Newton normal equations ==
     the single-device results (tensor-parallel axis, parallel/
