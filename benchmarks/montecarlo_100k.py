@@ -88,7 +88,9 @@ def main():
             raise SystemExit("--resume requires MC1_CKPT")
         from mpc_sensorlessao_tpu.utils import checkpoint as ckpt_mod
         state = ckpt_mod.restore(ckpt_dir, state)
-        state = {k: np.asarray(v) for k, v in state.items()}
+        # np.asarray over a jax array is a READ-ONLY view; the chunk
+        # loop writes in place, so take writable copies
+        state = {k: np.array(v) for k, v in state.items()}
         print(f"resumed at cursor={int(state['cursor'])}/"
               f"{len(d_grid) * n_chunks}", file=sys.stderr, flush=True)
 
