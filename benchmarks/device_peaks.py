@@ -55,14 +55,17 @@ REPEATS = int(os.environ.get("PK_REPEATS", "7"))
 SMOKE = bool(os.environ.get("PK_CPU"))
 
 
-def _scan_med(step_fn, carry0, steps=STEPS, repeats=REPEATS):
+def _scan_med(step_fn, carry0, probe, steps=STEPS, repeats=REPEATS):
+    """`probe(final_carry)` must return a SCALAR: on the tunnelled axon
+    backend block_until_ready returns at enqueue time, so the only
+    reliable sync is a host fetch of (a scalar element of) the result."""
     def scan_of(length):
         @jax.jit
         def run(c0):
             c, _ = jax.lax.scan(lambda c, _: (step_fn(c), None), c0,
                                 None, length=length)
-            return c
-        return lambda: jax.block_until_ready(run(carry0))
+            return probe(c)
+        return lambda: float(run(carry0))
 
     med, est = differenced_median(scan_of(steps), scan_of(2 * steps),
                                   steps, repeats)
@@ -70,20 +73,26 @@ def _scan_med(step_fn, carry0, steps=STEPS, repeats=REPEATS):
     return med, (float(q[0]), float(q[1]))
 
 
-def mxu_peak(dtype, n):
+def mxu_peak(dtype, n, precision=None):
+    """precision=None measures jnp.dot DEFAULT precision -- on TPU that
+    lowers f32 operands to single-pass bf16 MXU matmuls, which is what
+    every production matmul in this framework actually runs;
+    Precision.HIGHEST measures the multi-pass f32-accurate rate."""
     rng = np.random.default_rng(0)
     A = jnp.asarray(rng.normal(size=(n, n)), dtype)
     B = jnp.asarray(rng.normal(size=(n, n)), dtype)
 
     def step(c):
         A, B = c
-        C = jnp.dot(A, B, preferred_element_type=jnp.float32)
+        C = jnp.dot(A, B, preferred_element_type=jnp.float32,
+                    precision=precision)
         # fold the product back so nothing hoists; cast keeps dtype
         return ((A + 1e-12 * C.astype(jnp.float32)).astype(dtype), B)
 
-    med, iqr = _scan_med(step, (A, B))
+    med, iqr = _scan_med(step, (A, B), lambda c: c[0][0, 0])
     flops = 2.0 * n ** 3
-    return {"n": n, "s_per_iter": med, "iqr_s": iqr,
+    return {"n": n, "precision": str(precision or "default"),
+            "s_per_iter": med, "iqr_s": iqr,
             "differenced_work_s": round(med * STEPS, 3),
             "reliable": bool(med > 0 and med * STEPS > 0.05),
             "tflops": round(flops / med / 1e12, 2)}
@@ -95,7 +104,7 @@ def hbm_peak(m):
     def step(c):
         return c + 1.0
 
-    med, iqr = _scan_med(step, x)
+    med, iqr = _scan_med(step, x, lambda c: c[0])
     by = 2.0 * 4.0 * m          # read + write
     return {"elements": m, "s_per_iter": med, "iqr_s": iqr,
             "differenced_work_s": round(med * STEPS, 3),
@@ -103,7 +112,7 @@ def hbm_peak(m):
             "gbps": round(by / med / 1e9, 1)}
 
 
-def transc_peak(op, m, k1, k2):
+def transc_peak(op, m, k1, k2, steps=None):
     x = jnp.full((m,), 0.7, jnp.float32)
     fn = {"cos": jnp.cos, "exp": lambda v: jnp.exp(-v * v)}[op]
 
@@ -114,13 +123,57 @@ def transc_peak(op, m, k1, k2):
             return c
         return step
 
-    t1, _ = _scan_med(step_of(k1), x)
-    t2, iqr = _scan_med(step_of(k2), x)
+    steps = steps or STEPS
+    t1, _ = _scan_med(step_of(k1), x, lambda c: c[0], steps=steps)
+    t2, iqr = _scan_med(step_of(k2), x, lambda c: c[0], steps=steps)
     per = (t2 - t1) / ((k2 - k1) * m)     # seconds per transcendental
     return {"elements": m, "k1": k1, "k2": k2,
             "t_k1_s": t1, "t_k2_s": t2, "iqr_k2_s": iqr,
-            "differenced_work_s": round((t2 - t1) * STEPS, 3),
-            "reliable": bool(per > 0 and (t2 - t1) * STEPS > 0.05),
+            "differenced_work_s": round((t2 - t1) * steps, 3),
+            "reliable": bool(per > 0 and (t2 - t1) * steps > 0.05),
+            "gtransc_per_s": round(1.0 / per / 1e9, 2)}
+
+
+def transc_cos_pallas(m_rows, m_cols, k1, k2, steps=None):
+    """Mosaic-lowered chained cos: the production measure kernel
+    (ops/pallas_kernels.py) computes its cos/sin inside Pallas, whose
+    transcendental lowering is measurably faster than XLA's -- the
+    honest ceiling for Pallas-kernel roofline rows."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    x = jnp.full((m_rows, m_cols), 0.7, jnp.float32)
+    rows_blk = max(8, m_rows // 16)
+
+    def kern(x_ref, o_ref, *, k):
+        v = x_ref[:]
+        for _ in range(k):
+            v = jnp.cos(v)
+        o_ref[:] = v
+
+    def step_of(k):
+        call = pl.pallas_call(
+            functools.partial(kern, k=k),
+            grid=(m_rows // rows_blk,),
+            in_specs=[pl.BlockSpec((rows_blk, m_cols),
+                                   lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((rows_blk, m_cols), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((m_rows, m_cols),
+                                           jnp.float32),
+            interpret=SMOKE,
+        )
+        return lambda c: call(c)
+
+    steps = steps or STEPS
+    t1, _ = _scan_med(step_of(k1), x, lambda c: c[0, 0], steps=steps)
+    t2, iqr = _scan_med(step_of(k2), x, lambda c: c[0, 0], steps=steps)
+    m = m_rows * m_cols
+    per = (t2 - t1) / ((k2 - k1) * m)
+    return {"elements": m, "k1": k1, "k2": k2,
+            "t_k1_s": t1, "t_k2_s": t2, "iqr_k2_s": iqr,
+            "differenced_work_s": round((t2 - t1) * steps, 3),
+            "reliable": bool(per > 0 and (t2 - t1) * steps > 0.05),
             "gtransc_per_s": round(1.0 / per / 1e9, 2)}
 
 
@@ -128,7 +181,7 @@ def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else "PEAKS_r05.json"
     # sizes chosen so the differenced work is 100s of ms -- far above
     # the ~20-30 ms per-dispatch tunnel jitter that sank smaller runs
-    n = 512 if SMOKE else 8192
+    n = 512 if SMOKE else 4096
     m_hbm = 1 << (20 if SMOKE else 28)     # 4 MB / 1 GB f32
     m_tr = 1 << (18 if SMOKE else 25)
 
@@ -139,17 +192,32 @@ def main():
                  "benchmarks/roofline.py as ROOFLINE_PEAKS."),
         "device": str(jax.devices()[0]),
         "scan_steps": STEPS, "repeats": REPEATS,
-        "mxu_f32": mxu_peak(jnp.float32, n),
+        "mxu_default": mxu_peak(jnp.float32, n),
+        "mxu_f32_highest": mxu_peak(jnp.float32, n,
+                                    jax.lax.Precision.HIGHEST),
         "mxu_bf16": mxu_peak(jnp.bfloat16, n),
         "hbm": hbm_peak(m_hbm),
         "transc_cos": transc_peak("cos", m_tr, 8, 32),
-        "transc_exp": transc_peak("exp", m_tr, 8, 32),
+        "transc_exp": transc_peak("exp", m_tr, 8, 32,
+                                  steps=4 * STEPS),
+        "transc_cos_pallas": transc_cos_pallas(
+            64 if SMOKE else 4096, 512 if SMOKE else 4096, 8, 32),
     }
     report["peaks"] = {
-        "f32_mxu_flops": report["mxu_f32"]["tflops"] * 1e12,
+        # the production matmul ceiling: jnp.dot default precision
+        # (f32 operands -> single-pass bf16 MXU on TPU)
+        "f32_mxu_flops": report["mxu_default"]["tflops"] * 1e12,
+        "f32_highest_mxu_flops":
+            report["mxu_f32_highest"]["tflops"] * 1e12,
         "bf16_mxu_flops": report["mxu_bf16"]["tflops"] * 1e12,
         "hbm_bytes_per_s": report["hbm"]["gbps"] * 1e9,
-        "transc_per_s": report["transc_cos"]["gtransc_per_s"] * 1e9,
+        # the transcendental ceiling is the BEST measured lowering
+        # (Mosaic cos beats XLA cos; production kernels are Pallas)
+        "transc_per_s": max(
+            report["transc_cos"]["gtransc_per_s"],
+            report["transc_cos_pallas"]["gtransc_per_s"]) * 1e9,
+        "transc_xla_per_s":
+            report["transc_cos"]["gtransc_per_s"] * 1e9,
         "provenance": "measured on this chip by benchmarks/device_peaks.py",
     }
     with open(out_path, "w") as f:

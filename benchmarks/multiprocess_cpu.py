@@ -118,11 +118,27 @@ def worker(pid: int) -> None:
     local = jax.tree.map(lambda a: a[pid * per:(pid + 1) * per], scen)
     mesh = mesh_lib.scenario_mesh()
     scen_g = multihost.global_scenarios(local, mesh)
-    stats = montecarlo.run_sharded(system.loop, system.layers, cfg,
-                                   scen_g, n_steps=STEPS, mesh=mesh)
+    runner = montecarlo.make_sharded_runner(
+        system.loop, system.layers, cfg, STEPS, mesh)
+    stats = runner(scen_g)
     if pid == 0:
         print("STATS " + json.dumps(
             {k: float(v) for k, v in stats._asdict().items()}), flush=True)
+    if TIMED:
+        # post-compile throughput: barrier-aligned best-of reps through
+        # the already-jitted collective program
+        from jax._src import distributed as _dist
+        best = float("inf")
+        for rep in range(TIMED_REPS):
+            _dist.global_state.client.wait_at_barrier(
+                f"time_{rep}", 600_000)
+            t0 = time.time()
+            stats = runner(scen_g)
+            float(stats.mean_rms_res)       # host fetch = real sync
+            best = min(best, time.time() - t0)
+        if pid == 0:
+            print("TIME " + json.dumps({"best_s": best, "n_scen": n,
+                                        "steps": STEPS}), flush=True)
 
 
 def driver(out_path: str) -> None:
@@ -204,10 +220,87 @@ def driver(out_path: str) -> None:
             deltas[k] / (abs(ref[k]) + 1e-12) for k in ref),
         "ok": True,
     }
+
+    if os.environ.get("MP_THROUGHPUT"):
+        report["throughput"] = throughput_rows()
+
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
         f.write("\n")
     print(json.dumps(report, indent=2))
+
+
+def throughput_rows() -> dict:
+    """Strong-scaling steps/s at 1/2/4 processes (see module docstring).
+
+    Each row spawns nproc timed workers over a FIXED global batch of
+    MP_TOTAL scenarios with 1 device per process; workers time their
+    post-compile run_sharded between coordination barriers and worker 0
+    reports the best rep.  This 2-core host makes >=2-process rows an
+    oversubscription measurement -- recorded as such."""
+    import tempfile
+
+    total = int(os.environ.get("MP_TOTAL", "256"))
+    nprocs = [int(x) for x in
+              os.environ.get("MP_NPROCS_LIST", "1,2,4").split(",")]
+    rows = {"global_scenarios": total, "n_steps": STEPS,
+            "resolution": RES, "host_cores": os.cpu_count(),
+            "caveat": ("single host, oversubscribed beyond "
+                       f"{os.cpu_count()} cores: rows measure the real "
+                       "multi-process collective path, not fabric "
+                       "scaling"),
+            "rows": {}}
+    for np_i, nproc in enumerate(nprocs):
+        env = dict(os.environ)
+        env.update({
+            "MP_TIMED": "1", "MP_NPROC": str(nproc), "MP_DPP": "1",
+            "MP_SPD": str(total // nproc),
+            "MP_PORT": str(PORT + 10 + np_i),
+        })
+        procs, logs = [], []
+        t0 = time.time()
+        for pid in range(nproc):
+            f = tempfile.TemporaryFile(mode="w+",
+                                       prefix=f"mp_tp{nproc}_{pid}_")
+            logs.append(f)
+            procs.append(subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--process-id", str(pid)],
+                stdout=f, stderr=subprocess.STDOUT, text=True, env=env,
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))))
+        for p in procs:
+            p.wait(timeout=2400)
+        wall = time.time() - t0
+        outs = []
+        for f in logs:
+            f.seek(0)
+            outs.append(f.read())
+            f.close()
+        failed = [pid for pid, p in enumerate(procs)
+                  if p.returncode != 0]
+        if failed:
+            for pid, o in enumerate(outs):
+                print(f"--- tp worker {pid} ---\n{o[-3000:]}",
+                      file=sys.stderr)
+            raise SystemExit(f"throughput workers {failed} failed "
+                             f"(nproc={nproc})")
+        line = [ln for ln in outs[0].splitlines()
+                if ln.startswith("TIME ")][-1]
+        t = json.loads(line[len("TIME "):])
+        rows["rows"][f"nproc={nproc}"] = {
+            "best_run_s": round(t["best_s"], 3),
+            "steps_per_s": round(total * STEPS / t["best_s"], 1),
+            "wall_s_incl_build": round(wall, 1),
+        }
+        print(f"nproc={nproc}", rows["rows"][f"nproc={nproc}"],
+              file=sys.stderr, flush=True)
+    base = rows["rows"].get("nproc=1")
+    if base:
+        for k, v in rows["rows"].items():
+            v["speedup_vs_1proc"] = round(
+                v["steps_per_s"] / base["steps_per_s"], 2)
+    return rows
 
 
 def main():
