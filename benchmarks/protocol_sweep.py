@@ -72,7 +72,7 @@ def _settled_row(out, i=None):
     strehl_x = arr(out.strehl_exact)[s:]
     strehl_m = arr(out.strehl)[s:]
     res = res[s:]
-    return {
+    row = {
         "mean_rms_res_rad": round(float(res.mean()), 4),
         "p95_rms_res_rad": round(float(np.percentile(res, 95)), 4),
         "mean_rms_turb_rad": round(float(turb.mean()), 4),
@@ -82,6 +82,14 @@ def _settled_row(out, i=None):
         "mean_strehl_marechal": round(float(strehl_m.mean()), 4),
         "finite": bool(np.isfinite(res).all()),
     }
+    # crop-validity flag (models/closed_loop.py StepOutputs): the exact
+    # OTF-volume Strehl is only meaningful while the residual PSF peak
+    # stays inside the (2c+1)^2 diversity crop; an unlocked row
+    # (rejection ~< 1) pushes the peak outside and strehl_exact
+    # UNDERSTATES -- flag it per row instead of a footnote
+    if row["rejection"] < 1.2 or row["mean_strehl"] < 0.1:
+        row["strehl_exact_crop_valid"] = False
+    return row
 
 
 def _var_validation(cfg, system):

@@ -250,22 +250,41 @@ def run_batch(models, layers, cfg: SystemConfig, scen: ScenarioBatch,
 
 def make_sharded_runner(models, layers, cfg: SystemConfig, n_steps: int,
                         mesh, solver: str | None = None,
-                        shared_window: bool | str = False):
+                        shared_window: bool | str = False,
+                        edge_model=None, edge_state=None,
+                        shared_turbulence: bool | str = False,
+                        turb_key=None):
     """Build the shard_map Monte-Carlo program ONCE; returns a callable
     ``scen -> MonteCarloStats`` reusable across scenario batches of the
     same shape -- repeated sweeps (throughput timing, chunked
     populations) pay tracing/compilation a single time.
-    ``run_sharded`` is the one-shot convenience wrapper."""
+    ``run_sharded`` is the one-shot convenience wrapper.
+
+    ``edge_model``/``edge_state`` run the conditional-Gaussian
+    reference-parity flow on every shard (replicated operators;
+    ``shared_turbulence=True`` shares ONE realization across the whole
+    global batch -- each shard traces the evolution unbatched)."""
     settle = _settled_slice(n_steps)
     # shared_window=True: each concrete batch is verified in run();
     # inside the traced program the starts are tracers, so the traced
     # path is built with the "verified" escape hatch
-    verify_each = shared_window is True
+    verify_each = (shared_window is True
+                   or (edge_model is not None
+                       and shared_turbulence is True))
     sw_traced = "verified" if shared_window else False
+    st_traced = "verified" if shared_turbulence else False
+    if (edge_model is not None and shared_turbulence
+            and turb_key is None):
+        turb_key = jax.random.fold_in(
+            jax.random.PRNGKey(int(cfg.sim.seed)), 0x7e5)
 
-    def local(models, layers, scen_shard: ScenarioBatch) -> MonteCarloStats:
+    def local(models, layers, edge_tree,
+              scen_shard: ScenarioBatch) -> MonteCarloStats:
+        em, es, tk = edge_tree
         out = run_batch(models, layers, cfg, scen_shard, n_steps, solver,
-                        shared_window=sw_traced)
+                        shared_window=sw_traced,
+                        edge_model=em, edge_state=es,
+                        shared_turbulence=st_traced, turb_key=tk)
         res = out.rms_res[:, settle:]
         turb = out.rms_turb[:, settle:]
         strehl = out.strehl[:, settle:]
@@ -301,9 +320,17 @@ def make_sharded_runner(models, layers, cfg: SystemConfig, n_steps: int,
         )
         return stats
 
+    if (edge_state is not None
+            and getattr(edge_state, "phases", None) is not None
+            and edge_state.phases.ndim == 4):
+        raise ValueError(
+            "sharded runner supports a replicated (unbatched) edge_state "
+            "only; shard per-scenario initial screens with run_batch per "
+            "shard instead")
+
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(), P(SCENARIO_AXIS)),
+        in_specs=(P(), P(), P(), P(SCENARIO_AXIS)),
         out_specs=P(),
         check_vma=False,
     )
@@ -341,6 +368,7 @@ def make_sharded_runner(models, layers, cfg: SystemConfig, n_steps: int,
     jitted = jax.jit(sharded)
     models_p = _place(models, P())
     layers_p = _place(layers, P())
+    edge_p = _place((edge_model, edge_state, turb_key), P())
     n_dev = mesh.devices.size
 
     def run(scen: ScenarioBatch) -> MonteCarloStats:
@@ -356,7 +384,7 @@ def make_sharded_runner(models, layers, cfg: SystemConfig, n_steps: int,
         n = scen.start_step.shape[0]
         assert n % n_dev == 0, (n, n_dev)
         scen_p = _place(scen, P(SCENARIO_AXIS))
-        stats = jitted(models_p, layers_p, scen_p)
+        stats = jitted(models_p, layers_p, edge_p, scen_p)
         n_f = jnp.maximum(stats.n_scenarios, 1.0)
         return MonteCarloStats(
             mean_rms_res=stats.mean_rms_res / n_f,

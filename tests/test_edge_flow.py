@@ -248,6 +248,39 @@ def test_run_batch_per_scenario_turbulence_decorrelates():
     assert (res[:, -4:].mean(axis=1) < turb[:, -4:].mean(axis=1)).all()
 
 
+def test_run_sharded_edge_flow_matches_run_batch():
+    """Edge-flow Monte-Carlo over the 8-device scenario mesh: psum
+    statistics must match the single-device vmap means."""
+    import dataclasses as dc
+
+    from mpc_sensorlessao_tpu.models import pipeline
+    from mpc_sensorlessao_tpu.parallel import mesh as mesh_lib
+    from mpc_sensorlessao_tpu.parallel import montecarlo
+
+    cfg = reference_config(resolution=32)
+    cfg = cfg.replace(
+        atmosphere=dataclasses.replace(cfg.atmosphere, flow="conditional"),
+        sim=dc.replace(cfg.sim, n_train=120, n_valid=20, n_test=8))
+    system = pipeline.build(cfg, jax.random.PRNGKey(0))
+    m = mesh_lib.scenario_mesh()
+    n = m.devices.size
+    scen = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(1), n)
+    tk = jax.random.PRNGKey(9)
+    stats = montecarlo.make_sharded_runner(
+        system.loop, system.layers, cfg, 8, m,
+        edge_model=system.edge_model, edge_state=system.edge_state,
+        shared_turbulence=True, turb_key=tk)(scen)
+    out = montecarlo.run_batch(
+        system.loop, system.layers, cfg, scen, n_steps=8,
+        edge_model=system.edge_model, edge_state=system.edge_state,
+        shared_turbulence=True, turb_key=tk)
+    settle = 4
+    ref_mean = float(np.asarray(out.rms_res)[:, settle:].mean())
+    assert int(stats.n_scenarios) == n
+    np.testing.assert_allclose(float(stats.mean_rms_res), ref_mean,
+                               rtol=2e-4)
+
+
 def test_closed_loop_with_conditional_flow():
     """End-to-end: pipeline build + closed loop with flow="conditional"."""
     from mpc_sensorlessao_tpu.models import pipeline
