@@ -73,7 +73,7 @@ def _scan_med(step_fn, carry0, probe, steps=STEPS, repeats=REPEATS):
     return med, (float(q[0]), float(q[1]))
 
 
-def mxu_peak(dtype, n, precision=None):
+def mxu_peak(dtype, n, precision=None, steps=None):
     """precision=None measures jnp.dot DEFAULT precision -- on TPU that
     lowers f32 operands to single-pass bf16 MXU matmuls, which is what
     every production matmul in this framework actually runs;
@@ -89,12 +89,13 @@ def mxu_peak(dtype, n, precision=None):
         # fold the product back so nothing hoists; cast keeps dtype
         return ((A + 1e-12 * C.astype(jnp.float32)).astype(dtype), B)
 
-    med, iqr = _scan_med(step, (A, B), lambda c: c[0][0, 0])
+    steps = steps or STEPS
+    med, iqr = _scan_med(step, (A, B), lambda c: c[0][0, 0], steps=steps)
     flops = 2.0 * n ** 3
     return {"n": n, "precision": str(precision or "default"),
             "s_per_iter": med, "iqr_s": iqr,
-            "differenced_work_s": round(med * STEPS, 3),
-            "reliable": bool(med > 0 and med * STEPS > 0.05),
+            "differenced_work_s": round(med * steps, 3),
+            "reliable": bool(med > 0 and med * steps > 0.05),
             "tflops": round(flops / med / 1e12, 2)}
 
 
@@ -127,6 +128,51 @@ def transc_peak(op, m, k1, k2, steps=None):
     t1, _ = _scan_med(step_of(k1), x, lambda c: c[0], steps=steps)
     t2, iqr = _scan_med(step_of(k2), x, lambda c: c[0], steps=steps)
     per = (t2 - t1) / ((k2 - k1) * m)     # seconds per transcendental
+    return {"elements": m, "k1": k1, "k2": k2,
+            "t_k1_s": t1, "t_k2_s": t2, "iqr_k2_s": iqr,
+            "differenced_work_s": round((t2 - t1) * steps, 3),
+            "reliable": bool(per > 0 and (t2 - t1) * steps > 0.05),
+            "gtransc_per_s": round(1.0 / per / 1e9, 2)}
+
+
+def transc_sincos_pallas(m_rows, m_cols, k1, k2, steps=None):
+    """Mosaic chained cos+sin of the SAME argument -- the production
+    measure kernel's exact pattern (cos(p), sin(p) share range
+    reduction, so two 'transcendentals' cost much less than 2x a lone
+    cos).  Rate counts 2 transc per element per chain link."""
+    import functools
+
+    from jax.experimental import pallas as pl
+
+    x = jnp.full((m_rows, m_cols), 0.7, jnp.float32)
+    # smaller blocks than the cos chain: cos+sin keeps 3 (rows, cols)
+    # temporaries live and 256-row blocks blow the 16 MB scoped-vmem cap
+    rows_blk = max(8, m_rows // 64)
+
+    def kern(x_ref, o_ref, *, k):
+        v = x_ref[:]
+        for _ in range(k):
+            v = jnp.cos(v) + 0.5 * jnp.sin(v)
+        o_ref[:] = v
+
+    def step_of(k):
+        call = pl.pallas_call(
+            functools.partial(kern, k=k),
+            grid=(m_rows // rows_blk,),
+            in_specs=[pl.BlockSpec((rows_blk, m_cols),
+                                   lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((rows_blk, m_cols), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((m_rows, m_cols),
+                                           jnp.float32),
+            interpret=SMOKE,
+        )
+        return lambda c: call(c)
+
+    steps = steps or STEPS
+    t1, _ = _scan_med(step_of(k1), x, lambda c: c[0, 0], steps=steps)
+    t2, iqr = _scan_med(step_of(k2), x, lambda c: c[0, 0], steps=steps)
+    m = m_rows * m_cols
+    per = (t2 - t1) / (2.0 * (k2 - k1) * m)
     return {"elements": m, "k1": k1, "k2": k2,
             "t_k1_s": t1, "t_k2_s": t2, "iqr_k2_s": iqr,
             "differenced_work_s": round((t2 - t1) * steps, 3),
@@ -185,6 +231,20 @@ def main():
     m_hbm = 1 << (20 if SMOKE else 28)     # 4 MB / 1 GB f32
     m_tr = 1 << (18 if SMOKE else 25)
 
+    only = [s for s in os.environ.get("PK_ONLY", "").split(",") if s]
+    prior = {}
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+
+    def want(name, fn):
+        if only and name not in only:
+            if name in prior:
+                return prior[name]
+            raise SystemExit(f"PK_ONLY set but no prior '{name}' in "
+                             f"{out_path}")
+        return fn()
+
     report = {
         "what": ("Measured per-chip ceilings (differenced-scan medians; "
                  "transcendental rate by chain-depth slope, which "
@@ -192,16 +252,26 @@ def main():
                  "benchmarks/roofline.py as ROOFLINE_PEAKS."),
         "device": str(jax.devices()[0]),
         "scan_steps": STEPS, "repeats": REPEATS,
-        "mxu_default": mxu_peak(jnp.float32, n),
-        "mxu_f32_highest": mxu_peak(jnp.float32, n,
-                                    jax.lax.Precision.HIGHEST),
-        "mxu_bf16": mxu_peak(jnp.bfloat16, n),
-        "hbm": hbm_peak(m_hbm),
-        "transc_cos": transc_peak("cos", m_tr, 8, 32),
-        "transc_exp": transc_peak("exp", m_tr, 8, 32,
-                                  steps=4 * STEPS),
-        "transc_cos_pallas": transc_cos_pallas(
-            64 if SMOKE else 4096, 512 if SMOKE else 4096, 8, 32),
+        "mxu_default": want("mxu_default",
+                            lambda: mxu_peak(jnp.float32, n)),
+        "mxu_f32_highest": want("mxu_f32_highest", lambda: mxu_peak(
+            jnp.float32, n, jax.lax.Precision.HIGHEST)),
+        "mxu_bf16": want("mxu_bf16",
+                         lambda: mxu_peak(jnp.bfloat16, n,
+                                          steps=2 * STEPS)),
+        "hbm": want("hbm", lambda: hbm_peak(m_hbm)),
+        "transc_cos": want("transc_cos",
+                           lambda: transc_peak("cos", m_tr, 8, 32)),
+        "transc_exp": want("transc_exp", lambda: transc_peak(
+            "exp", m_tr, 8, 32, steps=4 * STEPS)),
+        "transc_cos_pallas": want("transc_cos_pallas", lambda:
+                                  transc_cos_pallas(
+                                      64 if SMOKE else 4096,
+                                      512 if SMOKE else 4096, 8, 32)),
+        "transc_sincos_pallas": want("transc_sincos_pallas", lambda:
+                                     transc_sincos_pallas(
+                                         64 if SMOKE else 4096,
+                                         512 if SMOKE else 4096, 8, 32)),
     }
     report["peaks"] = {
         # the production matmul ceiling: jnp.dot default precision
@@ -211,11 +281,13 @@ def main():
             report["mxu_f32_highest"]["tflops"] * 1e12,
         "bf16_mxu_flops": report["mxu_bf16"]["tflops"] * 1e12,
         "hbm_bytes_per_s": report["hbm"]["gbps"] * 1e9,
-        # the transcendental ceiling is the BEST measured lowering
-        # (Mosaic cos beats XLA cos; production kernels are Pallas)
+        # the transcendental ceiling is the BEST measured lowering/
+        # pattern (Mosaic beats XLA; the production kernels compute
+        # cos+sin of one argument, which shares range reduction)
         "transc_per_s": max(
             report["transc_cos"]["gtransc_per_s"],
-            report["transc_cos_pallas"]["gtransc_per_s"]) * 1e9,
+            report["transc_cos_pallas"]["gtransc_per_s"],
+            report["transc_sincos_pallas"]["gtransc_per_s"]) * 1e9,
         "transc_xla_per_s":
             report["transc_cos"]["gtransc_per_s"] * 1e9,
         "provenance": "measured on this chip by benchmarks/device_peaks.py",
