@@ -229,13 +229,31 @@ def _draw_borders_all(model: EdgeFlowModel, phases, key):
             + jnp.einsum("lxy,ly->lx", model.Bc, eps))         # (L, nX)
 
 
+def _border_segments(borders, n: int):
+    """Split the flat (L, nX) ring draw into top/bottom rows and
+    left/right columns.  The ring ordering is row-major flatnonzero of
+    the (n+2)^2 border mask (_ring_masks): first the full top row
+    (n+2), then rows 1..n contributing (left, right) pairs, then the
+    full bottom row."""
+    top = borders[:, :n + 2]                                   # (L, n+2)
+    bottom = borders[:, -(n + 2):]
+    mid = borders[:, n + 2:-(n + 2)].reshape(borders.shape[0], n, 2)
+    return top, bottom, mid[:, :, 0], mid[:, :, 1]
+
+
 def _embed_all(model: EdgeFlowModel, phases, borders):
-    """(L, n+2, n+2) frames: interior = phases, ring = borders -- one pad
-    + one scatter for all layers."""
+    """(L, n+2, n+2) frames: interior = phases, ring = borders.
+
+    Assembled with two concatenates instead of pad + flat ring scatter:
+    the 516-index scatter was the single hottest op of the r4 advance
+    (~63 us of the 315 us R=128 step, EDGEFLOW_r05 breakdown row
+    draws_embed); concat lowers to plain contiguous copies."""
     L, n = phases.shape[0], phases.shape[1]
-    frames = jnp.pad(phases, ((0, 0), (1, 1), (1, 1)))
-    flat = frames.reshape(L, -1).at[:, model.outer_idx].set(borders)
-    return flat.reshape(L, n + 2, n + 2)
+    top, bottom, left, right = _border_segments(borders, n)
+    body = jnp.concatenate(
+        [left[:, :, None], phases, right[:, :, None]], axis=2)
+    return jnp.concatenate(
+        [top[:, None, :], body, bottom[:, None, :]], axis=1)
 
 
 def _shift_exact(frame, n: int, dy: int, dx: int):
@@ -309,14 +327,22 @@ def advance(model: EdgeFlowModel, state: EdgeFlowState, idx, key):
         new = []
         for l in range(L):
             sgn_y, sgn_x = sgns[l]
-            do_y = s < jnp.abs(kys[l])
-            do_x = s < jnp.abs(kxs[l])
-            new.append(jnp.where(
-                do_y & do_x, _shift_exact(frames[l], n, sgn_y, sgn_x),
-                jnp.where(do_y, _shift_exact(frames[l], n, sgn_y, 0),
-                          jnp.where(do_x,
-                                    _shift_exact(frames[l], n, 0, sgn_x),
-                                    phases[l]))))
+            do_y = (s < jnp.abs(kys[l])).astype(jnp.int32)
+            do_x = (s < jnp.abs(kxs[l])).astype(jnp.int32)
+            # lax.switch executes ONLY the taken branch (the r4 nested
+            # where materialized all four shift candidates every
+            # sub-step -- ~40% of the advance, EDGEFLOW_r05 breakdown).
+            # Under a per-scenario-batched vmap the switch degrades to
+            # the select form again; the shared-turbulence path (the
+            # Monte-Carlo default) keeps the real branch.
+            new.append(jax.lax.switch(
+                do_y * 2 + do_x,
+                [lambda fr, ph: ph,
+                 lambda fr, ph, sx=sgn_x: _shift_exact(fr, n, 0, sx),
+                 lambda fr, ph, sy=sgn_y: _shift_exact(fr, n, sy, 0),
+                 lambda fr, ph, sy=sgn_y, sx=sgn_x:
+                     _shift_exact(fr, n, sy, sx)],
+                frames[l], phases[l]))
         phases = jnp.stack(new)
 
     # output-side fractional sampling (never written back)

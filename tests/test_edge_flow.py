@@ -141,6 +141,19 @@ def test_slow_wind_regime_runs():
     assert 0 < diff < 0.5 * np.abs(phases).std()
 
 
+def test_concat_embed_matches_scatter_embed():
+    """The concat-based frame assembly (round-5 fast path) must equal
+    the pad+ring-scatter oracle bit-for-bit for every layer."""
+    model, state = edge_flow.build(2, ATM1, TEL32)
+    key = jax.random.PRNGKey(0)
+    borders = edge_flow._draw_borders_all(model, state.phases, key)
+    fast = np.asarray(edge_flow._embed_all(model, state.phases, borders))
+    for l in range(model.n_layers):
+        ref = np.asarray(edge_flow._embed(model, state.phases[l],
+                                          borders[l]))
+        np.testing.assert_array_equal(fast[l], ref)
+
+
 def test_vectorized_advance_matches_per_layer_translation():
     """The layer-vectorized advance (round 5) must preserve the frozen-
     flow translation invariant per layer exactly like the r4 per-layer
