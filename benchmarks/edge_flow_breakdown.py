@@ -235,6 +235,24 @@ def main():
         "advance_breakdown": breakdown_rows(model, state0, key),
         "closed_loop": {},
     }
+
+    # bf16-stored conditioning operators (same MXU inputs as default
+    # precision; half the HBM traffic of the draw stage)
+    model_bf = jax.device_put(dataclasses.replace(
+        model, A=model.A.astype(jnp.bfloat16),
+        Bc=model.Bc.astype(jnp.bfloat16)))
+
+    def step_full_bf(st, idx):
+        st2, ph = edge_flow.advance(model_bf, st, idx, key)
+        return st2, jnp.sum(ph)
+
+    med, iqr = _measure_scan(step_full_bf, state0)
+    report["advance_breakdown"]["full_new_bf16ops"] = {
+        "us_per_step": round(med * 1e6, 2),
+        "iqr_us": [round(x * 1e6, 2) for x in iqr]}
+    print("full_new_bf16ops",
+          report["advance_breakdown"]["full_new_bf16ops"],
+          file=sys.stderr, flush=True)
     for b in ([1, 4] if smoke else [1, batch]):
         report["closed_loop"][f"B={b}"] = loop_marginal(res, b)
 

@@ -134,12 +134,20 @@ def extension_operators(atm_layer: AtmosphereConfig, n: int, pitch: float,
 
 
 def build(seed, atm: AtmosphereConfig, tel: TelescopeConfig,
-          dtype=jnp.float32):
+          dtype=jnp.float32, op_dtype=None):
     """Build the model + initial state. Host-side setup (one-time f64).
 
     Initial screens come from non-periodic crops of oversampled FFT
     synthesis (the reference seeds with fourierPhaseScreen,
     telescopeAbstract.m:850).
+
+    ``op_dtype`` stores ONLY the conditioning operators A/Bc in a
+    narrower dtype (state screens stay ``dtype``).  The R=512 border
+    draws are HBM-bound streaming ~400 MB of operators per step
+    (EDGEFLOW512_r05 breakdown), and the MXU already truncates f32
+    matmul operands to bf16 at default precision -- bf16 STORAGE halves
+    the traffic while feeding the MXU (near-)identical values
+    (accumulation stays f32 via preferred_element_type).
     """
     n = tel.resolution
     pitch = tel.pixel_pitch
@@ -164,8 +172,8 @@ def build(seed, atm: AtmosphereConfig, tel: TelescopeConfig,
         phases.append(scr[:n, :n])    # non-periodic crop
 
     model = EdgeFlowModel(
-        A=jnp.asarray(np.stack(A_l), dtype=dtype),
-        Bc=jnp.asarray(np.stack(B_l), dtype=dtype),
+        A=jnp.asarray(np.stack(A_l), dtype=op_dtype or dtype),
+        Bc=jnp.asarray(np.stack(B_l), dtype=op_dtype or dtype),
         outer_idx=jnp.asarray(outer_idx, dtype=jnp.int32),
         inner_idx=jnp.asarray(inner_idx, dtype=jnp.int32),
         step_px=tuple(steps),
@@ -222,11 +230,15 @@ def _draw_borders_all(model: EdgeFlowModel, phases, key):
     per-layer path spent most of its 255 us/step overhead on op count,
     not arithmetic; benchmarks/edge_flow_breakdown.py)."""
     L = phases.shape[0]
-    Z = phases.reshape(L, -1)[:, model.inner_idx]              # (L, nZ)
+    od = model.A.dtype
+    Z = phases.reshape(L, -1)[:, model.inner_idx].astype(od)   # (L, nZ)
     eps = jax.random.normal(key, (L, model.Bc.shape[-1]),
-                            dtype=phases.dtype)
-    return (jnp.einsum("lxz,lz->lx", model.A, Z)
-            + jnp.einsum("lxy,ly->lx", model.Bc, eps))         # (L, nX)
+                            dtype=phases.dtype).astype(od)
+    return (jnp.einsum("lxz,lz->lx", model.A, Z,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("lxy,ly->lx", model.Bc, eps,
+                         preferred_element_type=jnp.float32)
+            ).astype(phases.dtype)                             # (L, nX)
 
 
 def _border_segments(borders, n: int):
