@@ -160,9 +160,10 @@ def breakdown_rows(model, state0, key):
     return rows
 
 
-def loop_marginal(res, batch, steps=STEPS, repeats=REPEATS):
-    """Per-step closed-loop cost: periodic vs conditional(shared) at B."""
-    out = {}
+def loop_marginal(res, batches, steps=STEPS, repeats=REPEATS):
+    """Per-step closed-loop cost: periodic vs conditional(shared), one
+    build per flow reused across every batch size."""
+    out = {f"B={b}": {} for b in batches}
     for flow in ("periodic", "conditional"):
         cfg = reference_config(resolution=res)
         cfg = cfg.replace(
@@ -173,35 +174,43 @@ def loop_marginal(res, batch, steps=STEPS, repeats=REPEATS):
         system = pipeline.build(cfg, jax.random.PRNGKey(0))
         jax.block_until_ready(system.loop.est.A_s)
         build_s = time.time() - t0
-        scen = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(1), batch)
-        montecarlo.assert_shared_window(scen)
+        for batch in batches:
+            scen = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(1),
+                                             batch)
+            montecarlo.assert_shared_window(scen)
 
-        def run_of(n_steps):
-            if flow == "conditional":
-                f = jax.jit(lambda s: montecarlo.run_batch(
-                    system.loop, system.layers, cfg, s, n_steps=n_steps,
-                    edge_model=system.edge_model,
-                    edge_state=system.edge_state,
-                    shared_turbulence="verified").rms_res)
-            else:
-                f = jax.jit(lambda s: montecarlo.run_batch(
-                    system.loop, system.layers, cfg, s, n_steps=n_steps,
-                    shared_window="verified").rms_res)
-            return lambda: f(scen).block_until_ready()
+            def run_of(n_steps):
+                if flow == "conditional":
+                    f = jax.jit(lambda s: montecarlo.run_batch(
+                        system.loop, system.layers, cfg, s,
+                        n_steps=n_steps,
+                        edge_model=system.edge_model,
+                        edge_state=system.edge_state,
+                        shared_turbulence="verified").rms_res)
+                else:
+                    f = jax.jit(lambda s: montecarlo.run_batch(
+                        system.loop, system.layers, cfg, s,
+                        n_steps=n_steps,
+                        shared_window="verified").rms_res)
+                return lambda: f(scen).block_until_ready()
 
-        med, est = differenced_median(run_of(steps), run_of(2 * steps),
-                                      steps, repeats)
-        q = np.percentile(est, [25, 75])
-        out[flow] = {
-            "build_s": round(build_s, 1),
-            "us_per_step": round(med * 1e6, 1),
-            "us_per_step_per_scen": round(med / batch * 1e6, 2),
-            "iqr_us": [round(float(x) * 1e6, 1) for x in q],
-        }
-        print(f"B={batch} {flow}", out[flow], file=sys.stderr, flush=True)
-    out["conditional_overhead_us_per_step"] = round(
-        out["conditional"]["us_per_step"]
-        - out["periodic"]["us_per_step"], 1)
+            med, est = differenced_median(run_of(steps),
+                                          run_of(2 * steps),
+                                          steps, repeats)
+            q = np.percentile(est, [25, 75])
+            out[f"B={batch}"][flow] = {
+                "build_s": round(build_s, 1),
+                "us_per_step": round(med * 1e6, 1),
+                "us_per_step_per_scen": round(med / batch * 1e6, 2),
+                "iqr_us": [round(float(x) * 1e6, 1) for x in q],
+            }
+            print(f"B={batch} {flow}", out[f"B={batch}"][flow],
+                  file=sys.stderr, flush=True)
+    for b in batches:
+        row = out[f"B={b}"]
+        row["conditional_overhead_us_per_step"] = round(
+            row["conditional"]["us_per_step"]
+            - row["periodic"]["us_per_step"], 1)
     return out
 
 
@@ -253,8 +262,8 @@ def main():
     print("full_new_bf16ops",
           report["advance_breakdown"]["full_new_bf16ops"],
           file=sys.stderr, flush=True)
-    for b in ([1, 4] if smoke else [1, batch]):
-        report["closed_loop"][f"B={b}"] = loop_marginal(res, b)
+    report["closed_loop"] = loop_marginal(
+        res, [1, 4] if smoke else [1, batch])
 
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
