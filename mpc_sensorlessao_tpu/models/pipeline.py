@@ -104,7 +104,8 @@ def build(cfg: SystemConfig, key) -> System:
     with hostcompute.on_cpu():
         if cfg.atmosphere.flow == "conditional":
             edge_model, state0 = edge_flow.build(
-                int(cfg.sim.seed), cfg.atmosphere, tel)
+                int(cfg.sim.seed), cfg.atmosphere, tel,
+                op_dtype=jnp.dtype(cfg.atmosphere.edge_op_dtype))
             edge_model = jax.device_put(edge_model, cpu)
             edge_state, coeffs = edge_flow.rollout(
                 edge_model, jax.device_put(state0, cpu),

@@ -62,6 +62,13 @@ class AtmosphereConfig:
     #                reference-parity stochastic flow
     #                (telescopeAbstract.m:823-901; ops/edge_flow.py).
     flow: str = "periodic"
+    # Storage dtype for the conditional-flow conditioning operators A/Bc
+    # (ops/edge_flow.py).  "bfloat16" halves the HBM traffic of the
+    # R=512 border draws; the MXU already truncates f32 matmul operands
+    # to bf16 at default precision, so the computed draws are
+    # (near-)identical (accumulation stays f32).  State screens are
+    # always float32.
+    edge_op_dtype: str = "float32"
 
     @property
     def n_layers(self) -> int:
