@@ -262,6 +262,23 @@ def main():
     print("full_new_bf16ops",
           report["advance_breakdown"]["full_new_bf16ops"],
           file=sys.stderr, flush=True)
+
+    # shift-selection strategy A/B (full_new uses the size-based default)
+    report["shift_select_default"] = model.shift_select
+    alt = "where" if model.shift_select == "switch" else "switch"
+    model_alt = jax.device_put(dataclasses.replace(model,
+                                                   shift_select=alt))
+
+    def step_full_alt(st, idx):
+        st2, ph = edge_flow.advance(model_alt, st, idx, key)
+        return st2, jnp.sum(ph)
+
+    med, iqr = _measure_scan(step_full_alt, state0)
+    report["advance_breakdown"][f"full_new_{alt}"] = {
+        "us_per_step": round(med * 1e6, 2),
+        "iqr_us": [round(x * 1e6, 2) for x in iqr]}
+    print(f"full_new_{alt}", report["advance_breakdown"][f"full_new_{alt}"],
+          file=sys.stderr, flush=True)
     report["closed_loop"] = loop_marginal(
         res, [1, 4] if smoke else [1, batch])
 

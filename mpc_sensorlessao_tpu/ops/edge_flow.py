@@ -73,6 +73,12 @@ class EdgeFlowModel:
     step_px: tuple = struct.field(pytree_node=False)
     nsub: tuple = struct.field(pytree_node=False)
     size: int = struct.field(pytree_node=False)
+    # whole-pixel shift selection strategy (measured per size,
+    # EDGEFLOW_r05/EDGEFLOW512_r05): "switch" executes only the taken
+    # branch (wins at R<=128); "where" materializes the 4 candidates and
+    # selects (TPU conditionals carry fixed overhead that dominates at
+    # R=512, where the slices are cheap streaming copies)
+    shift_select: str = struct.field(pytree_node=False, default="switch")
 
     @property
     def n_layers(self) -> int:
@@ -179,6 +185,10 @@ def build(seed, atm: AtmosphereConfig, tel: TelescopeConfig,
         step_px=tuple(steps),
         nsub=tuple(nsub),
         size=n,
+        # measured crossover (EDGEFLOW_r05 vs EDGEFLOW512_r05 breakdown
+        # rows): branch overhead wins below ~256 px, candidate
+        # materialization wins above
+        shift_select="switch" if n <= 256 else "where",
     )
     state = EdgeFlowState(
         phases=jnp.asarray(np.stack(phases), dtype=dtype))
@@ -339,22 +349,28 @@ def advance(model: EdgeFlowModel, state: EdgeFlowState, idx, key):
         new = []
         for l in range(L):
             sgn_y, sgn_x = sgns[l]
-            do_y = (s < jnp.abs(kys[l])).astype(jnp.int32)
-            do_x = (s < jnp.abs(kxs[l])).astype(jnp.int32)
-            # lax.switch executes ONLY the taken branch (the r4 nested
-            # where materialized all four shift candidates every
-            # sub-step -- ~40% of the advance, EDGEFLOW_r05 breakdown).
-            # Under a per-scenario-batched vmap the switch degrades to
-            # the select form again; the shared-turbulence path (the
-            # Monte-Carlo default) keeps the real branch.
-            new.append(jax.lax.switch(
-                do_y * 2 + do_x,
-                [lambda fr, ph: ph,
-                 lambda fr, ph, sx=sgn_x: _shift_exact(fr, n, 0, sx),
-                 lambda fr, ph, sy=sgn_y: _shift_exact(fr, n, sy, 0),
-                 lambda fr, ph, sy=sgn_y, sx=sgn_x:
-                     _shift_exact(fr, n, sy, sx)],
-                frames[l], phases[l]))
+            do_y = s < jnp.abs(kys[l])
+            do_x = s < jnp.abs(kxs[l])
+            if model.shift_select == "switch":
+                # executes ONLY the taken branch -- wins where the
+                # conditional's fixed cost beats materializing 4
+                # candidates (R<=128; see shift_select docstring)
+                new.append(jax.lax.switch(
+                    do_y.astype(jnp.int32) * 2 + do_x.astype(jnp.int32),
+                    [lambda fr, ph: ph,
+                     lambda fr, ph, sx=sgn_x: _shift_exact(fr, n, 0, sx),
+                     lambda fr, ph, sy=sgn_y: _shift_exact(fr, n, sy, 0),
+                     lambda fr, ph, sy=sgn_y, sx=sgn_x:
+                         _shift_exact(fr, n, sy, sx)],
+                    frames[l], phases[l]))
+            else:
+                new.append(jnp.where(
+                    do_y & do_x, _shift_exact(frames[l], n, sgn_y, sgn_x),
+                    jnp.where(do_y, _shift_exact(frames[l], n, sgn_y, 0),
+                              jnp.where(do_x,
+                                        _shift_exact(frames[l], n, 0,
+                                                     sgn_x),
+                                        phases[l]))))
         phases = jnp.stack(new)
 
     # output-side fractional sampling (never written back)
