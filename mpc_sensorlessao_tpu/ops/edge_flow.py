@@ -79,6 +79,13 @@ class EdgeFlowModel:
     # selects (TPU conditionals carry fixed overhead that dominates at
     # R=512, where the slices are cheap streaming copies)
     shift_select: str = struct.field(pytree_node=False, default="switch")
+    # advance() implementation: "vectorized" (batched layer draws/
+    # embeds -- 3.2x faster at R=128) or "per_layer" (the r4 structure
+    # -- 2x faster at R=512, where slicing the stacked layer frames
+    # relayouts poorly; measured in EDGEFLOW512_r05).  Distinct PRNG
+    # streams (per-step vs per-layer key folds), both exact draws of
+    # the same conditional-Gaussian process.
+    impl: str = struct.field(pytree_node=False, default="vectorized")
 
     @property
     def n_layers(self) -> int:
@@ -189,6 +196,7 @@ def build(seed, atm: AtmosphereConfig, tel: TelescopeConfig,
         # rows): branch overhead wins below ~256 px, candidate
         # materialization wins above
         shift_select="switch" if n <= 256 else "where",
+        impl="vectorized" if n <= 256 else "per_layer",
     )
     state = EdgeFlowState(
         phases=jnp.asarray(np.stack(phases), dtype=dtype))
@@ -322,6 +330,8 @@ def advance(model: EdgeFlowModel, state: EdgeFlowState, idx, key):
     turbulence Monte-Carlo path (parallel/montecarlo.run_batch)
     amortizes the evolution over the entire scenario batch.
     """
+    if model.impl == "per_layer":
+        return advance_per_layer(model, state, idx, key)
     n = model.size
     L = model.n_layers
     idxf = jnp.asarray(idx, jnp.float32)
