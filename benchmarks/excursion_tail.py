@@ -89,10 +89,23 @@ def main():
         "n_train": cfg0.sim.n_train,
         "device": str(jax.devices()[0]), "rows": {},
     }
+    if os.path.exists(out_path):  # resume: keep completed rows
+        with open(out_path) as f:
+            prior = json.load(f)
+        if (prior.get("resolution") == res
+                and prior.get("n_steps") == n_steps):
+            report["rows"] = prior.get("rows", {})
+
+    def _save():
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+            f.write("\n")
 
     for d in d_grid:
         for arm, order, vmr in (("order10", 10, None),
                                 ("order14_clamp", 14, 0.85)):
+            if f"d={d:g}_{arm}" in report["rows"]:
+                continue
             cfg = cfg0.replace(
                 zernike=dataclasses.replace(cfg0.zernike,
                                             radial_order=order),
@@ -118,6 +131,7 @@ def main():
             report["rows"][f"d={d:g}_{arm}"] = row
             print(json.dumps({f"d={d:g}_{arm}": row}), file=sys.stderr,
                   flush=True)
+            _save()
 
     # verdict summary: per d, did the tail improve?
     for d in d_grid:
@@ -132,9 +146,7 @@ def main():
                     and b["p95_rms_res_rad"] < a["p95_rms_res_rad"]),
             }
 
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=2)
-        f.write("\n")
+    _save()
     print(json.dumps(report, indent=2))
 
 

@@ -26,6 +26,10 @@ flow="conditional":
 Usage: python benchmarks/protocol_edge.py [resolution] [out.json]
 Env:   PE_CPU=1  PE_DR0=5,10  PE_STEPS=500  PE_TRAIN=1000  PE_MC_B=32
        PE_SKIP_TUNED=1  PE_TUNED_DR0=5,10
+       PE_STAGES=ref,mc,periodic,tuned  -- run a subset of the protocol
+       sections; if out.json already exists it is loaded and updated in
+       place, so a long run can be split into bounded-duration stages
+       (each stage re-verifies nothing from the others).
 """
 
 import dataclasses
@@ -95,6 +99,12 @@ def _var_validation(cfg, system):
             "var_rrmse_mean": round(float(jnp.mean(rrmse)), 5)}
 
 
+def _save(report, out_path):
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+        f.write("\n")
+
+
 def _apply_sim_env(cfg, n_steps):
     if os.environ.get("PE_TRAIN"):
         n_tr = int(os.environ["PE_TRAIN"])
@@ -112,6 +122,9 @@ def main():
                   os.environ.get("PE_TUNED_DR0", "5,10").split(",")]
     mc_b = int(os.environ.get("PE_MC_B", "32"))
 
+    stages = set(os.environ.get(
+        "PE_STAGES", "ref,mc,periodic,tuned").split(","))
+
     cfg0 = reference_config(resolution=res)
     n_steps = int(os.environ.get("PE_STEPS", cfg0.sim.n_test))
 
@@ -124,18 +137,20 @@ def main():
         "device": str(jax.devices()[0]),
         "reference_rows": {}, "periodic_rows": {}, "tuned_rows": {},
     }
+    if os.path.exists(out_path):  # staged run: merge into the prior file
+        with open(out_path) as f:
+            prior = json.load(f)
+        if (prior.get("resolution") == res
+                and prior.get("n_steps") == n_steps):
+            report.update(prior)
+        else:
+            print("out file exists with different protocol params; "
+                  "starting fresh", file=sys.stderr)
 
-    # ---- conditional-flow reference rows ----
     cfg = _apply_sim_env(cfg0.replace(
         atmosphere=dataclasses.replace(cfg0.atmosphere,
                                        flow="conditional")), n_steps)
     report["n_train"], report["n_valid"] = cfg.sim.n_train, cfg.sim.n_valid
-    t0 = time.time()
-    system = pipeline.build(cfg, jax.random.PRNGKey(0))
-    jax.block_until_ready(system.loop.est.A_s)
-    report["conditional_build_s"] = round(time.time() - t0, 1)
-    report["conditional_var"] = _var_validation(cfg, system)
-
     start = float(cfg.sim.n_train + cfg.sim.n_valid)
     scen = montecarlo.ScenarioBatch(
         start_step=jnp.full((len(d_grid),), start, dtype=jnp.float32),
@@ -143,69 +158,88 @@ def main():
         noise_scale=jnp.ones((len(d_grid),), dtype=jnp.float32),
         key=jax.random.split(jax.random.PRNGKey(1), len(d_grid)),
     )
-    t0 = time.time()
-    out = montecarlo.run_batch(
-        system.loop, system.layers, cfg, scen, n_steps=n_steps,
-        edge_model=system.edge_model, edge_state=system.edge_state,
-        shared_turbulence=True)
-    jax.block_until_ready(out.rms_res)
-    t_loop = time.time() - t0
-    report["conditional_loop_s"] = round(t_loop, 2)
-    report["conditional_solves_per_s"] = round(
-        len(d_grid) * n_steps / t_loop, 1)
-    for i, d in enumerate(d_grid):
-        report["reference_rows"][f"d_over_r0={d:g}"] = _settled_row(out, i)
-    print(json.dumps({"reference_rows": report["reference_rows"]}),
-          file=sys.stderr, flush=True)
+
+    system = None
+    if stages & {"ref", "mc"}:
+        t0 = time.time()
+        system = pipeline.build(cfg, jax.random.PRNGKey(0))
+        jax.block_until_ready(system.loop.est.A_s)
+        report["conditional_build_s"] = round(time.time() - t0, 1)
+        report["conditional_var"] = _var_validation(cfg, system)
+
+    # ---- conditional-flow reference rows ----
+    if "ref" in stages:
+        t0 = time.time()
+        out = montecarlo.run_batch(
+            system.loop, system.layers, cfg, scen, n_steps=n_steps,
+            edge_model=system.edge_model, edge_state=system.edge_state,
+            shared_turbulence=True)
+        jax.block_until_ready(out.rms_res)
+        t_loop = time.time() - t0
+        report["conditional_loop_s"] = round(t_loop, 2)
+        report["conditional_solves_per_s"] = round(
+            len(d_grid) * n_steps / t_loop, 1)
+        for i, d in enumerate(d_grid):
+            report["reference_rows"][f"d_over_r0={d:g}"] = (
+                _settled_row(out, i))
+        print(json.dumps({"reference_rows": report["reference_rows"]}),
+              file=sys.stderr, flush=True)
+        _save(report, out_path)
 
     # ---- batched conditional Monte-Carlo over noise seeds (d=5) ----
-    scen_mc = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(2), mc_b)
-    t0 = time.time()
-    out_mc = montecarlo.run_batch(
-        system.loop, system.layers, cfg, scen_mc, n_steps=n_steps,
-        edge_model=system.edge_model, edge_state=system.edge_state,
-        shared_turbulence=True)
-    jax.block_until_ready(out_mc.rms_res)
-    t_mc = time.time() - t0
-    sx = np.asarray(out_mc.strehl_exact, np.float64)[:, n_steps // 2:]
-    per_scen = sx.mean(axis=1)
-    report["monte_carlo"] = {
-        "batch": mc_b, "d_over_r0": 5.0,
-        "loop_s": round(t_mc, 2),
-        "solves_per_s": round(mc_b * n_steps / t_mc, 1),
-        "mean_strehl": round(float(per_scen.mean()), 4),
-        "p10_strehl": round(float(np.percentile(per_scen, 10)), 4),
-        "min_strehl": round(float(per_scen.min()), 4),
-    }
-    print(json.dumps({"monte_carlo": report["monte_carlo"]}),
-          file=sys.stderr, flush=True)
+    if "mc" in stages:
+        scen_mc = montecarlo.make_scenarios(cfg, jax.random.PRNGKey(2),
+                                            mc_b)
+        t0 = time.time()
+        out_mc = montecarlo.run_batch(
+            system.loop, system.layers, cfg, scen_mc, n_steps=n_steps,
+            edge_model=system.edge_model, edge_state=system.edge_state,
+            shared_turbulence=True)
+        jax.block_until_ready(out_mc.rms_res)
+        t_mc = time.time() - t0
+        sx = np.asarray(out_mc.strehl_exact, np.float64)[:, n_steps // 2:]
+        per_scen = sx.mean(axis=1)
+        report["monte_carlo"] = {
+            "batch": mc_b, "d_over_r0": 5.0,
+            "loop_s": round(t_mc, 2),
+            "solves_per_s": round(mc_b * n_steps / t_mc, 1),
+            "mean_strehl": round(float(per_scen.mean()), 4),
+            "p10_strehl": round(float(np.percentile(per_scen, 10)), 4),
+            "min_strehl": round(float(per_scen.min()), 4),
+        }
+        print(json.dumps({"monte_carlo": report["monte_carlo"]}),
+              file=sys.stderr, flush=True)
+        _save(report, out_path)
 
     # ---- periodic rows, same session, controlled delta ----
-    cfg_p = _apply_sim_env(cfg0, n_steps)
-    t0 = time.time()
-    system_p = pipeline.build(cfg_p, jax.random.PRNGKey(0))
-    jax.block_until_ready(system_p.loop.est.A_s)
-    report["periodic_build_s"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    out_p = montecarlo.run_batch(system_p.loop, system_p.layers, cfg_p,
-                                 scen, n_steps=n_steps,
-                                 shared_window=True)
-    jax.block_until_ready(out_p.rms_res)
-    report["periodic_loop_s"] = round(time.time() - t0, 2)
-    for i, d in enumerate(d_grid):
-        report["periodic_rows"][f"d_over_r0={d:g}"] = _settled_row(out_p, i)
-    report["quality_delta_strehl"] = {
-        f"d_over_r0={d:g}": round(
-            report["reference_rows"][f"d_over_r0={d:g}"]["mean_strehl"]
-            - report["periodic_rows"][f"d_over_r0={d:g}"]["mean_strehl"],
-            4)
-        for d in d_grid}
-    print(json.dumps({"periodic_rows": report["periodic_rows"],
-                      "delta": report["quality_delta_strehl"]}),
-          file=sys.stderr, flush=True)
+    if "periodic" in stages:
+        cfg_p = _apply_sim_env(cfg0, n_steps)
+        t0 = time.time()
+        system_p = pipeline.build(cfg_p, jax.random.PRNGKey(0))
+        jax.block_until_ready(system_p.loop.est.A_s)
+        report["periodic_build_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        out_p = montecarlo.run_batch(system_p.loop, system_p.layers,
+                                     cfg_p, scen, n_steps=n_steps,
+                                     shared_window=True)
+        jax.block_until_ready(out_p.rms_res)
+        report["periodic_loop_s"] = round(time.time() - t0, 2)
+        for i, d in enumerate(d_grid):
+            report["periodic_rows"][f"d_over_r0={d:g}"] = (
+                _settled_row(out_p, i))
+        if report["reference_rows"]:
+            report["quality_delta_strehl"] = {
+                k: round(row["mean_strehl"]
+                         - report["periodic_rows"][k]["mean_strehl"], 4)
+                for k, row in report["reference_rows"].items()
+                if k in report["periodic_rows"]}
+        print(json.dumps({"periodic_rows": report["periodic_rows"],
+                          "delta": report.get("quality_delta_strehl")}),
+              file=sys.stderr, flush=True)
+        _save(report, out_path)
 
     # ---- tuned rows on the conditional flow ----
-    if not os.environ.get("PE_SKIP_TUNED"):
+    if "tuned" in stages and not os.environ.get("PE_SKIP_TUNED"):
         for d in tuned_grid:
             cfg_t = cfg.replace(
                 zernike=dataclasses.replace(cfg.zernike, radial_order=10),
@@ -231,10 +265,9 @@ def main():
             report["tuned_rows"][f"d_over_r0={d:g}"] = row
             print(json.dumps({f"tuned d={d:g}": row}), file=sys.stderr,
                   flush=True)
+            _save(report, out_path)
 
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=2)
-        f.write("\n")
+    _save(report, out_path)
     print(json.dumps(report, indent=2))
 
 
