@@ -78,7 +78,7 @@ def _measure_scan(step_fn, carry0, steps=STEPS, repeats=REPEATS):
     return med, (float(q[0]), float(q[1]))
 
 
-def breakdown_rows(model, state0, key):
+def breakdown_rows(model, state0, key, done=None, save=None):
     """Component knockouts of one advance() application."""
     L = model.n_layers
     n = model.size
@@ -147,16 +147,20 @@ def breakdown_rows(model, state0, key):
         st2, ph = edge_flow.advance_per_layer(model, st, idx, key)
         return st2, jnp.sum(ph)
 
-    rows = {}
+    rows = dict(done or {})
     for name, fn in [("draws", step_draws),
                      ("draws_embed", step_draws_embed),
                      ("no_frac", step_no_frac),
                      ("full_new", step_full_new),
                      ("full_old", step_full_old)]:
+        if name in rows:
+            continue
         med, iqr = _measure_scan(fn, state0)
         rows[name] = {"us_per_step": round(med * 1e6, 2),
                       "iqr_us": [round(x * 1e6, 2) for x in iqr]}
         print(name, rows[name], file=sys.stderr, flush=True)
+        if save is not None:
+            save(rows)
     return rows
 
 
@@ -241,9 +245,27 @@ def main():
         "n_layers": model.n_layers,
         "nsub": list(map(list, model.nsub)),
         "operator_build_s": round(build_s, 1),
-        "advance_breakdown": breakdown_rows(model, state0, key),
+        "advance_breakdown": {},
         "closed_loop": {},
     }
+    if os.path.exists(out_path):  # staged run: resume completed rows
+        with open(out_path) as f:
+            prior = json.load(f)
+        if prior.get("resolution") == res:
+            report["advance_breakdown"] = prior.get(
+                "advance_breakdown", {})
+            report["closed_loop"] = prior.get("closed_loop", {})
+
+    def _save(rows=None):
+        if rows is not None:
+            report["advance_breakdown"] = rows
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+            f.write("\n")
+
+    report["advance_breakdown"] = breakdown_rows(
+        model, state0, key, done=report["advance_breakdown"],
+        save=_save)
 
     # bf16-stored conditioning operators (same MXU inputs as default
     # precision; half the HBM traffic of the draw stage)
@@ -255,13 +277,15 @@ def main():
         st2, ph = edge_flow.advance(model_bf, st, idx, key)
         return st2, jnp.sum(ph)
 
-    med, iqr = _measure_scan(step_full_bf, state0)
-    report["advance_breakdown"]["full_new_bf16ops"] = {
-        "us_per_step": round(med * 1e6, 2),
-        "iqr_us": [round(x * 1e6, 2) for x in iqr]}
-    print("full_new_bf16ops",
-          report["advance_breakdown"]["full_new_bf16ops"],
-          file=sys.stderr, flush=True)
+    if "full_new_bf16ops" not in report["advance_breakdown"]:
+        med, iqr = _measure_scan(step_full_bf, state0)
+        report["advance_breakdown"]["full_new_bf16ops"] = {
+            "us_per_step": round(med * 1e6, 2),
+            "iqr_us": [round(x * 1e6, 2) for x in iqr]}
+        print("full_new_bf16ops",
+              report["advance_breakdown"]["full_new_bf16ops"],
+              file=sys.stderr, flush=True)
+        _save()
 
     # shift-selection strategy A/B (full_new uses the size-based default)
     report["shift_select_default"] = model.shift_select
@@ -273,18 +297,20 @@ def main():
         st2, ph = edge_flow.advance(model_alt, st, idx, key)
         return st2, jnp.sum(ph)
 
-    med, iqr = _measure_scan(step_full_alt, state0)
-    report["advance_breakdown"][f"full_new_{alt}"] = {
-        "us_per_step": round(med * 1e6, 2),
-        "iqr_us": [round(x * 1e6, 2) for x in iqr]}
-    print(f"full_new_{alt}", report["advance_breakdown"][f"full_new_{alt}"],
-          file=sys.stderr, flush=True)
-    report["closed_loop"] = loop_marginal(
-        res, [1, 4] if smoke else [1, batch])
+    if f"full_new_{alt}" not in report["advance_breakdown"]:
+        med, iqr = _measure_scan(step_full_alt, state0)
+        report["advance_breakdown"][f"full_new_{alt}"] = {
+            "us_per_step": round(med * 1e6, 2),
+            "iqr_us": [round(x * 1e6, 2) for x in iqr]}
+        print(f"full_new_{alt}",
+              report["advance_breakdown"][f"full_new_{alt}"],
+              file=sys.stderr, flush=True)
+        _save()
+    if not report["closed_loop"] and not os.environ.get("EFB_SKIP_LOOPS"):
+        report["closed_loop"] = loop_marginal(
+            res, [1, 4] if smoke else [1, batch])
 
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=2)
-        f.write("\n")
+    _save()
     print(json.dumps(report, indent=2))
 
 
