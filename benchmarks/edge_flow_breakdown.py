@@ -164,11 +164,18 @@ def breakdown_rows(model, state0, key, done=None, save=None):
     return rows
 
 
-def loop_marginal(res, batches, steps=STEPS, repeats=REPEATS):
+def loop_marginal(res, batches, steps=STEPS, repeats=REPEATS,
+                  done=None, save=None):
     """Per-step closed-loop cost: periodic vs conditional(shared), one
     build per flow reused across every batch size."""
     out = {f"B={b}": {} for b in batches}
+    for b, row in (done or {}).items():  # staged resume
+        if b in out:
+            out[b].update({k: v for k, v in row.items()
+                           if k in ("periodic", "conditional")})
     for flow in ("periodic", "conditional"):
+        if all(flow in out[f"B={b}"] for b in batches):
+            continue
         cfg = reference_config(resolution=res)
         cfg = cfg.replace(
             atmosphere=dataclasses.replace(cfg.atmosphere, flow=flow),
@@ -210,6 +217,8 @@ def loop_marginal(res, batches, steps=STEPS, repeats=REPEATS):
             }
             print(f"B={batch} {flow}", out[f"B={batch}"][flow],
                   file=sys.stderr, flush=True)
+            if save is not None:
+                save(out)
     for b in batches:
         row = out[f"B={b}"]
         row["conditional_overhead_us_per_step"] = round(
@@ -306,9 +315,17 @@ def main():
               report["advance_breakdown"][f"full_new_{alt}"],
               file=sys.stderr, flush=True)
         _save()
-    if not report["closed_loop"] and not os.environ.get("EFB_SKIP_LOOPS"):
-        report["closed_loop"] = loop_marginal(
-            res, [1, 4] if smoke else [1, batch])
+    if not os.environ.get("EFB_SKIP_LOOPS"):
+        bsizes = [1, 4] if smoke else [1, batch]
+        need = any(f not in report["closed_loop"].get(f"B={b}", {})
+                   for b in bsizes for f in ("periodic", "conditional"))
+        if need:
+            def _save_loops(out):
+                report["closed_loop"] = out
+                _save()
+            report["closed_loop"] = loop_marginal(
+                res, bsizes, done=report["closed_loop"],
+                save=_save_loops)
 
     _save()
     print(json.dumps(report, indent=2))
