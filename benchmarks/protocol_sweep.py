@@ -115,6 +115,11 @@ def main():
     n_steps = int(os.environ.get("PROTO_STEPS", cfg.sim.n_test))
     cfg = cfg.replace(sim=dataclasses.replace(cfg.sim, n_test=n_steps))
 
+    stages = set(os.environ.get("PROTO_STAGES", "ref,tuned").split(","))
+    tuned_grid = [float(d) for d in os.environ.get(
+        "PROTO_TUNED_DR0", os.environ.get("PROTO_DR0",
+                                          "5,10,15,20")).split(",")]
+
     report = {
         "protocol": "README.md:36-37,112-115,277-284 at flagship scale",
         "resolution": res,
@@ -123,37 +128,53 @@ def main():
         "device": str(jax.devices()[0]),
         "reference_rows": {}, "tuned_rows": {},
     }
+    if os.path.exists(out_path):  # staged run: merge into the prior file
+        with open(out_path) as f:
+            prior = json.load(f)
+        if (prior.get("resolution") == res
+                and prior.get("n_steps") == n_steps):
+            report.update(prior)
+
+    def _save():
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+            f.write("\n")
 
     # ---- reference rows: one build, runtime D/r0 sweep (vmap) ----
-    t0 = time.time()
-    system = pipeline.build(cfg, jax.random.PRNGKey(0))
-    jax.block_until_ready(system.loop.est.A_s)
-    report["reference_build_s"] = round(time.time() - t0, 1)
-    report["reference_var"] = _var_validation(cfg, system)
+    if "ref" in stages:
+        t0 = time.time()
+        system = pipeline.build(cfg, jax.random.PRNGKey(0))
+        jax.block_until_ready(system.loop.est.A_s)
+        report["reference_build_s"] = round(time.time() - t0, 1)
+        report["reference_var"] = _var_validation(cfg, system)
 
-    start = float(cfg.sim.n_train + cfg.sim.n_valid)
-    scen = montecarlo.ScenarioBatch(
-        start_step=jnp.full((len(d_grid),), start, dtype=jnp.float32),
-        mag=jnp.asarray([mag_conv(d) for d in d_grid], dtype=jnp.float32),
-        noise_scale=jnp.ones((len(d_grid),), dtype=jnp.float32),
-        key=jax.random.split(jax.random.PRNGKey(1), len(d_grid)),
-    )
-    t0 = time.time()
-    out = montecarlo.run_batch(system.loop, system.layers, cfg, scen,
-                               n_steps=n_steps)
-    jax.block_until_ready(out.rms_res)
-    t_loop = time.time() - t0
-    report["reference_loop_s"] = round(t_loop, 2)
-    report["reference_solves_per_s"] = round(
-        len(d_grid) * n_steps / t_loop, 1)
-    for i, d in enumerate(d_grid):
-        report["reference_rows"][f"d_over_r0={d:g}"] = _settled_row(out, i)
-    print(json.dumps({k: v for k, v in report.items()
-                      if k != "tuned_rows"}, indent=2), file=sys.stderr)
+        start = float(cfg.sim.n_train + cfg.sim.n_valid)
+        scen = montecarlo.ScenarioBatch(
+            start_step=jnp.full((len(d_grid),), start, dtype=jnp.float32),
+            mag=jnp.asarray([mag_conv(d) for d in d_grid],
+                            dtype=jnp.float32),
+            noise_scale=jnp.ones((len(d_grid),), dtype=jnp.float32),
+            key=jax.random.split(jax.random.PRNGKey(1), len(d_grid)),
+        )
+        t0 = time.time()
+        out = montecarlo.run_batch(system.loop, system.layers, cfg, scen,
+                                   n_steps=n_steps)
+        jax.block_until_ready(out.rms_res)
+        t_loop = time.time() - t0
+        report["reference_loop_s"] = round(t_loop, 2)
+        report["reference_solves_per_s"] = round(
+            len(d_grid) * n_steps / t_loop, 1)
+        for i, d in enumerate(d_grid):
+            report["reference_rows"][f"d_over_r0={d:g}"] = (
+                _settled_row(out, i))
+        print(json.dumps({k: v for k, v in report.items()
+                          if k != "tuned_rows"}, indent=2),
+              file=sys.stderr)
+        _save()
 
     # ---- tuned rows: per-D/r0 builds (prior/warm start depend on mag) ----
-    if not os.environ.get("PROTO_SKIP_TUNED"):
-        for d in d_grid:
+    if "tuned" in stages and not os.environ.get("PROTO_SKIP_TUNED"):
+        for d in tuned_grid:
             # Residual-scale MMSE shrinkage (prior_scale ~ 0.5/d: the
             # closed-loop residual is ~1/rejection of the open-loop
             # prior) plus r_weight=30: the reference's R=I leaves the
@@ -185,10 +206,9 @@ def main():
             row["loop_s"] = round(time.time() - t0, 2)
             report["tuned_rows"][f"d_over_r0={d:g}"] = row
             print(json.dumps({f"tuned d={d:g}": row}), file=sys.stderr)
+            _save()
 
-    with open(out_path, "w") as f:
-        json.dump(report, f, indent=2)
-        f.write("\n")
+    _save()
     print(json.dumps(report, indent=2))
 
 
