@@ -315,6 +315,27 @@ def main():
               report["advance_breakdown"][f"full_new_{alt}"],
               file=sys.stderr, flush=True)
         _save()
+    # hybrid impl (batched draws + per-layer frames/shifts), both
+    # shift-select strategies
+    for sel in ("switch", "where"):
+        rname = f"full_hybrid_{sel}"
+        if rname in report["advance_breakdown"]:
+            continue
+        model_h = jax.device_put(dataclasses.replace(
+            model, impl="hybrid", shift_select=sel))
+
+        def step_full_h(st, idx, m=model_h):
+            st2, ph = edge_flow.advance(m, st, idx, key)
+            return st2, jnp.sum(ph)
+
+        med, iqr = _measure_scan(step_full_h, state0)
+        report["advance_breakdown"][rname] = {
+            "us_per_step": round(med * 1e6, 2),
+            "iqr_us": [round(x * 1e6, 2) for x in iqr]}
+        print(rname, report["advance_breakdown"][rname],
+              file=sys.stderr, flush=True)
+        _save()
+
     if not os.environ.get("EFB_SKIP_LOOPS"):
         bsizes = [1, 4] if smoke else [1, batch]
         need = any(f not in report["closed_loop"].get(f"B={b}", {})

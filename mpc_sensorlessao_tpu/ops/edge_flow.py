@@ -80,10 +80,15 @@ class EdgeFlowModel:
     # R=512, where the slices are cheap streaming copies)
     shift_select: str = struct.field(pytree_node=False, default="switch")
     # advance() implementation: "vectorized" (batched layer draws/
-    # embeds -- 3.2x faster at R=128) or "per_layer" (the r4 structure
-    # -- 2x faster at R=512, where slicing the stacked layer frames
-    # relayouts poorly; measured in EDGEFLOW512_r05).  Distinct PRNG
-    # streams (per-step vs per-layer key folds), both exact draws of
+    # embeds AND stacked-frame shift selection -- 3.2x faster than
+    # per_layer at R=128), "per_layer" (the r4 structure; at R=512
+    # slicing the stacked layer frames relayouts poorly, making it 2x
+    # faster than vectorized there), or "hybrid" (batched draws +
+    # per-layer concat frames and shift selection: the draws/embed
+    # stage measured 0.92 ms of per_layer's 3.5 ms at R=512 --
+    # EDGEFLOW512_r05 -- so keeping the batched draw while slicing
+    # unstacked 2D frames takes the best half of each).  Distinct PRNG
+    # streams (per-step vs per-layer key folds), all exact draws of
     # the same conditional-Gaussian process.
     impl: str = struct.field(pytree_node=False, default="vectorized")
 
@@ -332,6 +337,8 @@ def advance(model: EdgeFlowModel, state: EdgeFlowState, idx, key):
     """
     if model.impl == "per_layer":
         return advance_per_layer(model, state, idx, key)
+    if model.impl == "hybrid":
+        return advance_hybrid(model, state, idx, key)
     n = model.size
     L = model.n_layers
     idxf = jnp.asarray(idx, jnp.float32)
@@ -390,6 +397,87 @@ def advance(model: EdgeFlowModel, state: EdgeFlowState, idx, key):
     out = jnp.zeros((n, n), dtype=phases.dtype)
     for l in range(L):
         out = out + _shift_dynamic(frames[l], n, fys[l], fxs[l])
+    return EdgeFlowState(phases=phases), out
+
+
+def _embed_layer(phase, top, bottom, left, right):
+    """One (n+2, n+2) frame from a layer's phase and border segments
+    (concat assembly, no scatter): body rows get (left, right) columns,
+    then the full-width top/bottom rows close the ring."""
+    body = jnp.concatenate([left[:, None], phase, right[:, None]], axis=1)
+    return jnp.concatenate([top[None, :], body, bottom[None, :]], axis=0)
+
+
+def _select_shift(frame, phase, n, do_y, do_x, sgn_y, sgn_x, strategy):
+    """Pick phase' among the 4 candidate exact shifts of one layer's
+    frame.  "switch" executes only the taken branch; "where"
+    materializes the candidates and selects (see
+    EdgeFlowModel.shift_select)."""
+    if strategy == "switch":
+        return jax.lax.switch(
+            do_y.astype(jnp.int32) * 2 + do_x.astype(jnp.int32),
+            [lambda fr, ph: ph,
+             lambda fr, ph: _shift_exact(fr, n, 0, sgn_x),
+             lambda fr, ph: _shift_exact(fr, n, sgn_y, 0),
+             lambda fr, ph: _shift_exact(fr, n, sgn_y, sgn_x)],
+            frame, phase)
+    return jnp.where(
+        do_y & do_x, _shift_exact(frame, n, sgn_y, sgn_x),
+        jnp.where(do_y, _shift_exact(frame, n, sgn_y, 0),
+                  jnp.where(do_x, _shift_exact(frame, n, 0, sgn_x),
+                            phase)))
+
+
+def advance_hybrid(model: EdgeFlowModel, state: EdgeFlowState, idx, key):
+    """Batched border draws + per-layer frame/shift handling.
+
+    The EDGEFLOW512_r05 breakdown shows the R=512 per_layer advance
+    (3.5 ms/step) spends only ~0.9 ms of it on the batched
+    draws+embed equivalent; the rest is per-layer matvec draws and
+    stacked-frame slicing.  This path keeps the (L, nX) batched draw
+    (one einsum streaming the operators once) and assembles/slices
+    UNSTACKED (n+2, n+2) frames per layer, where `_shift_exact` is a
+    plain contiguous 2D slice.  Same per-step PRNG stream as the
+    vectorized impl (bit-equal draws).
+    """
+    n = model.size
+    L = model.n_layers
+    idxf = jnp.asarray(idx, jnp.float32)
+    kstep = jax.random.fold_in(key, idx)
+
+    kys, kxs, sgns, fys, fxs = [], [], [], [], []
+    for l in range(L):
+        sy, sx = model.step_px[l]
+        o_y, o_x = (idxf + 1) * sy, (idxf + 1) * sx
+        kys.append((jnp.floor(o_y) - jnp.floor(idxf * sy)).astype(jnp.int32))
+        kxs.append((jnp.floor(o_x) - jnp.floor(idxf * sx)).astype(jnp.int32))
+        sgns.append((1 if sy > 0 else -1, 1 if sx > 0 else -1))
+        fys.append(o_y - jnp.floor(o_y))
+        fxs.append(o_x - jnp.floor(o_x))
+    K_max = max((max(ns) for ns in model.nsub), default=0)
+
+    phases = state.phases                                       # (L, n, n)
+    for s in range(K_max):
+        borders = _draw_borders_all(model, phases,
+                                    jax.random.fold_in(kstep, s))
+        top, bottom, left, right = _border_segments(borders, n)
+        new = []
+        for l in range(L):
+            frame = _embed_layer(phases[l], top[l], bottom[l],
+                                 left[l], right[l])
+            new.append(_select_shift(
+                frame, phases[l], n, s < jnp.abs(kys[l]),
+                s < jnp.abs(kxs[l]), *sgns[l], model.shift_select))
+        phases = jnp.stack(new)
+
+    borders = _draw_borders_all(model, phases,
+                                jax.random.fold_in(kstep, K_max))
+    top, bottom, left, right = _border_segments(borders, n)
+    out = jnp.zeros((n, n), dtype=phases.dtype)
+    for l in range(L):
+        frame = _embed_layer(phases[l], top[l], bottom[l],
+                             left[l], right[l])
+        out = out + _shift_dynamic(frame, n, fys[l], fxs[l])
     return EdgeFlowState(phases=phases), out
 
 

@@ -154,6 +154,37 @@ def test_concat_embed_matches_scatter_embed():
         np.testing.assert_array_equal(fast[l], ref)
 
 
+def test_hybrid_advance_bit_equal_to_vectorized():
+    """The hybrid impl (batched draws + per-layer frames/shifts) shares
+    the vectorized impl's per-step PRNG stream and math: trajectories
+    must match bit-for-bit, for both shift-select strategies."""
+    atm = dataclasses.replace(
+        ATM1, altitudes=(0.0, 4000.0), wind_speeds=(8.0, 3.0),
+        wind_directions=(0.3, math.pi / 2), fractional_r0=(0.7, 0.3))
+    model, state = edge_flow.build(7, atm, TEL32)
+    key = jax.random.PRNGKey(9)
+
+    def rollout(m):
+        @jax.jit
+        def run(st):
+            def step(st, idx):
+                return edge_flow.advance(m, st, idx, key)
+            return jax.lax.scan(step, st, jnp.arange(8))
+        return run(state)
+
+    for select in ("switch", "where"):
+        base = dataclasses.replace(model, impl="vectorized",
+                                   shift_select=select)
+        hyb = dataclasses.replace(model, impl="hybrid",
+                                  shift_select=select)
+        f_v, ph_v = rollout(base)
+        f_h, ph_h = rollout(hyb)
+        np.testing.assert_array_equal(np.asarray(f_v.phases),
+                                      np.asarray(f_h.phases))
+        np.testing.assert_array_equal(np.asarray(ph_v),
+                                      np.asarray(ph_h))
+
+
 def test_vectorized_advance_matches_per_layer_translation():
     """The layer-vectorized advance (round 5) must preserve the frozen-
     flow translation invariant per layer exactly like the r4 per-layer
